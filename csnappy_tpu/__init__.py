@@ -7,6 +7,30 @@ decode with the reference's error-code contract, zram-style batched block
 mode with a length-table container, CLI/selftest harness, and data-parallel
 scale-out over TPU meshes.
 """
+import os as _os
+
+
+def _honor_platform_env() -> None:
+    """Make JAX_PLATFORMS behave as documented.
+
+    This image's sitecustomize force-registers its TPU platform and wins over
+    the environment variable; restore the user's choice before any backend
+    initialization."""
+    want = _os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        import jax
+        import jax._src.xla_bridge as _xb
+
+        if not _xb._backends:
+            jax.config.update("jax_platforms", want)
+    except Exception:
+        pass
+
+
+_honor_platform_env()
+
 from .errors import (
     E_DATA_MALFORMED,
     E_HEADER_BAD,

@@ -1,0 +1,109 @@
+"""Public codec API — parity surface for the reference's ``csnappy.h``.
+
+Six entry points with the same contracts (csnappy.h:30-119), plus a backend
+switch.  Errors are raised as :class:`SnappyError` carrying the reference's
+numeric codes, or returned as codes by the ``*_status`` variants.
+
+Backends:
+  * ``"jax"``  — batched XLA kernels on the default JAX device (TPU).
+  * ``"py"``   — the pure-Python format model (oracle, slow).
+  * ``"native"`` — the C++ host runtime, when built (csrc/).
+
+Divergence note: header-mode :func:`decompress` additionally verifies the
+stream produced exactly the header-declared length (the reference's C lacks a
+produced-length out-param and cannot check this; its Python model enforces it,
+pysnappy_decompress.py:57-60 — we follow the stricter model).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .errors import (
+    E_DATA_MALFORMED,
+    E_HEADER_BAD,
+    E_OK,
+    E_OUTPUT_INSUF,
+    SnappyError,
+    raise_for_code,
+)
+from .models import pymodel, wire
+
+DEFAULT_BACKEND = "jax"
+
+
+def max_compressed_length(source_len: int) -> int:
+    """csnappy_max_compressed_length (csnappy_compress.c:612-616)."""
+    return wire.max_compressed_length(source_len)
+
+
+def get_uncompressed_length(src: bytes) -> tuple[int, int]:
+    """csnappy_get_uncompressed_length: (length, header_bytes) or E_HEADER_BAD."""
+    try:
+        return wire.varint_decode(bytes(src[: wire.MAX_VARINT32_BYTES + 1]))
+    except ValueError as e:
+        raise SnappyError(E_HEADER_BAD, str(e)) from None
+
+
+def compress_fragment(data: bytes, backend: str = DEFAULT_BACKEND) -> bytes:
+    """Headerless compression of one fragment ≤ 32 KiB (csnappy.h:46-52).
+
+    The caller-supplied workmem of the C API is internal here (device scratch
+    / hash state lives in the kernel)."""
+    if len(data) > wire.BLOCK_SIZE:
+        raise ValueError("fragment larger than 32 KiB")
+    if backend == "py":
+        return pymodel.compress_fragment(data)
+    if backend == "native":
+        from .runtime import native
+
+        return native.compress_fragment(data)
+    from .ops import encode_jnp
+
+    buf = np.zeros((1, encode_jnp.BS), np.uint8)
+    buf[0, : len(data)] = np.frombuffer(data, np.uint8)
+    comp, lens = encode_jnp.encode_blocks(buf, np.array([len(data)], np.int32))
+    return comp[0, : lens[0]].tobytes()
+
+
+def compress(data: bytes, backend: str = DEFAULT_BACKEND) -> bytes:
+    """Whole-stream compression: varint preamble + 32 KiB fragments."""
+    if backend == "py":
+        return pymodel.compress(data)
+    if backend == "native":
+        from .runtime import native
+
+        return native.compress(data)
+    from .ops import encode_jnp
+
+    return encode_jnp.compress_np(data)
+
+
+def decompress_noheader(src: bytes, dst_len: int, backend: str = DEFAULT_BACKEND) -> bytes:
+    """Safe headerless decode into at most ``dst_len`` bytes (csnappy.h:107-119)."""
+    if backend == "py":
+        return pymodel.decompress_noheader(src, dst_len)
+    if backend == "native":
+        from .runtime import native
+
+        return native.decompress_noheader(src, dst_len)
+    from .ops import decode_jnp
+
+    out, produced, status = decode_jnp.decompress_noheader_np(
+        np.frombuffer(src, np.uint8), dst_len
+    )
+    raise_for_code(int(status))
+    return out.tobytes()
+
+
+def decompress(src: bytes, dst_len: int | None = None, backend: str = DEFAULT_BACKEND) -> bytes:
+    """Whole-stream decode with header parse + DoS length guard
+    (csnappy_decompress.c:394-411)."""
+    ulen, hdr = get_uncompressed_length(src)
+    if dst_len is None:
+        dst_len = ulen
+    if ulen > dst_len:
+        raise SnappyError(E_OUTPUT_INSUF, f"header says {ulen}, buffer {dst_len}")
+    out = decompress_noheader(src[hdr:], ulen, backend=backend)
+    if len(out) != ulen:
+        raise SnappyError(E_DATA_MALFORMED, f"produced {len(out)}, header said {ulen}")
+    return out

@@ -6,12 +6,18 @@ without TPU hardware; bench.py runs on the real chip.
 import os
 import pathlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# this image's sitecustomize force-registers the axon TPU platform and wins
+# over the env var — override it in-process before any backend init
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
