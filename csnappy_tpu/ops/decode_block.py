@@ -131,16 +131,8 @@ def _compose_chunks(t, src_len, P):
 
     levels = []
     for _ in range(LOCAL_ROUNDS):
-        local = F < chunk_end  # next tag still inside this chunk
-        levels.append((F, local))
-        li = jnp.where(local, F & (L - 1), 0).reshape(-1, L)
-        gF, gS, gE = prim.local_gather_multi(
-            [F.reshape(-1, L), S.reshape(-1, L), E.reshape(-1, L)], li
-        )
-        gF, gS, gE = gF.reshape(-1), gS.reshape(-1), gE.reshape(-1)
-        F = jnp.where(local, gF, F)
-        S = jnp.where(local, jnp.minimum(S + gS, 1 << 23), S)
-        E = jnp.where(local, E | gE, E)
+        levels.append((F, F < chunk_end))
+        F, S, E = prim.compose_round(F, S, E, chunk_end)
     return F, S, E, levels
 
 
@@ -187,8 +179,7 @@ def _mark_tags(levels, entry, P):
     )  # (CI, L) int32
     for F_k, local_k in levels:
         tgt = jnp.where(local_k, F_k & (L - 1), L).reshape(CI, L)
-        stepped = prim.local_scatter_or(m, tgt)
-        m = jnp.maximum(m, stepped)
+        m = prim.local_scatter_or(m, tgt)  # includes the OR with m
     return m.reshape(-1) > 0
 
 

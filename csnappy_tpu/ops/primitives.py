@@ -72,17 +72,17 @@ def _local_scatter_or_kernel(m_ref, t_ref, o_ref):
     tgt = t_ref[...]                     # (RC, L) target lane or >=L for none
     lanes = jax.lax.broadcasted_iota(jnp.int32, tgt.shape + (L,), tgt.ndim)
     hit = (tgt[..., None] == lanes) & (m[..., None] > 0)   # (RC, L, Lq)
-    o_ref[...] = jnp.max(jnp.where(hit, 1, 0), axis=-2)
+    o_ref[...] = jnp.maximum(jnp.max(jnp.where(hit, 1, 0), axis=-2), m)
 
 
 def local_scatter_or(mask, tgt):
-    """out[..., c, q] = any_e(mask[..., c, e] & (tgt[..., c, e] == q)).
+    """out[..., c, q] = mask[..., c, q] | any_e(mask[..., c, e] & (tgt == q)).
 
     mask int32 0/1; tgt int32 (values outside [0,128) scatter nowhere)."""
     if _on_cpu():
         q = jax.lax.broadcasted_iota(jnp.int32, tgt.shape + (L,), tgt.ndim)
         hit = (tgt[..., None] == q) & (mask[..., None] > 0)
-        return jnp.max(jnp.where(hit, 1, 0), axis=-2)
+        return jnp.maximum(jnp.max(jnp.where(hit, 1, 0), axis=-2), mask)
     shape = mask.shape
     m2 = mask.reshape(-1, L)
     t2 = tgt.reshape(-1, L)
@@ -99,6 +99,57 @@ def local_scatter_or(mask, tgt):
         out_specs=pl.BlockSpec((RC, L), lambda c: (c, 0), memory_space=pltpu.VMEM),
     )(m2, t2)
     return out.reshape(shape)
+
+
+# ------------------------------------------------------ fused compose round --
+
+
+def _compose_round_kernel(F_ref, S_ref, E_ref, ce_ref, Fo_ref, So_ref, Eo_ref):
+    F = F_ref[...]
+    S = S_ref[...]
+    E = E_ref[...]
+    chunk_end = ce_ref[...]
+    local = F < chunk_end
+    li = jnp.where(local, F & (L - 1), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, li.shape + (L,), li.ndim)
+    oh = li[..., None] == lanes
+    gF = jnp.sum(jnp.where(oh, F[..., None, :], 0), axis=-1)
+    gS = jnp.sum(jnp.where(oh, S[..., None, :], 0), axis=-1)
+    gE = jnp.sum(jnp.where(oh, E[..., None, :], 0), axis=-1)
+    Fo_ref[...] = jnp.where(local, gF, F)
+    So_ref[...] = jnp.where(local, jnp.minimum(S + gS, 1 << 23), S)
+    Eo_ref[...] = jnp.where(local, E | gE, E)
+
+
+def compose_round(F, S, E, chunk_end):
+    """One in-chunk composition round (decoder phase A2), fused.
+
+    F, S, E, chunk_end: int32[..., CI, L]; F jumps only while F < chunk_end.
+    chunk_end is passed as data (not derived from grid position) so the
+    kernel stays correct under vmap batching."""
+    shape = F.shape
+    F2, S2, E2, C2 = (x.reshape(-1, L) for x in (F, S, E, chunk_end))
+    if _on_cpu():
+        local = F2 < C2
+        li = jnp.where(local, F2 & (L - 1), 0)
+        gF = jnp.take_along_axis(F2, li, axis=1)
+        gS = jnp.take_along_axis(S2, li, axis=1)
+        gE = jnp.take_along_axis(E2, li, axis=1)
+        Fn = jnp.where(local, gF, F2)
+        Sn = jnp.where(local, jnp.minimum(S2 + gS, 1 << 23), S2)
+        En = jnp.where(local, E2 | gE, E2)
+        return Fn.reshape(shape), Sn.reshape(shape), En.reshape(shape)
+    C = F2.shape[0]
+    RC = 8 if C % 8 == 0 else 1
+    spec = pl.BlockSpec((RC, L), lambda c: (c, 0), memory_space=pltpu.VMEM)
+    Fn, Sn, En = pl.pallas_call(
+        _compose_round_kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((C, L), jnp.int32) for _ in range(3)),
+        grid=(C // RC,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+    )(F2, S2, E2, C2)
+    return Fn.reshape(shape), Sn.reshape(shape), En.reshape(shape)
 
 
 # ------------------------------------------------------------- row gather --

@@ -60,9 +60,9 @@ def _snappy_compress_pages(pages: np.ndarray, lens: np.ndarray):
 
 
 def _snappy_decompress_pages(comp: np.ndarray, lens: np.ndarray, page_size: int):
-    from ..ops import decode_jnp
+    from ..ops import decode_block
 
-    return decode_jnp.decode_blocks(comp, lens, page_size)
+    return decode_block.decode_blocks(comp, lens, page_size)
 
 
 def compress_blocks(data: bytes, page_size: int = 4096, codec: str = "snappy") -> tuple[bytes, BlockStats]:
