@@ -1,0 +1,34 @@
+# Build/test harness — reference Makefile parity (C11).
+
+PY ?= python
+
+.PHONY: test native cl_test selftest bench block_test clean
+
+test:
+	$(PY) -m pytest tests/ -q
+
+native:
+	$(MAKE) -C csrc
+
+# round-trip check on the golden corpus through the CLI, like the
+# reference's cl_test target (Makefile:21-26)
+cl_test: native
+	$(PY) -m csnappy_tpu.cli file -c -b native tests/data/urls.10K /tmp/u.sz
+	$(PY) -m csnappy_tpu.cli file -d -b native /tmp/u.sz /tmp/u.out
+	cmp /tmp/u.out tests/data/urls.10K && echo "cl_test passed"
+
+selftest:
+	$(PY) -m csnappy_tpu.cli file -S c -b native
+	$(PY) -m csnappy_tpu.cli file -S d -b native
+
+block_test: native
+	$(PY) -m csnappy_tpu.cli block -c -m snappy tests/data/urls.10K /tmp/u.blk
+	$(PY) -m csnappy_tpu.cli block -d -m snappy /tmp/u.blk /tmp/u.blk.out
+	cmp /tmp/u.blk.out tests/data/urls.10K && echo "block_test passed"
+
+bench:
+	$(PY) bench.py
+
+clean:
+	$(MAKE) -C csrc clean
+	rm -rf .pytest_cache
