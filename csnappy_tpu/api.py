@@ -99,6 +99,13 @@ def decompress(src: bytes, dst_len: int | None = None, backend: str = DEFAULT_BA
     """Whole-stream decode with header parse + DoS length guard
     (csnappy_decompress.c:394-411)."""
     ulen, hdr = get_uncompressed_length(src)
+    # Allocation DoS guard (ADVICE r1): a hostile 5-byte header can claim up
+    # to 2^32-1 bytes.  No valid stream expands beyond 64 output bytes per
+    # 3 compressed bytes (a COPY_2 len-64 tag), so a header beyond that
+    # bound is unreachable — reject before sizing any buffer.
+    body_len = len(src) - hdr
+    if ulen > (body_len // 3 + 1) * 64:
+        raise SnappyError(E_HEADER_BAD, f"header length {ulen} impossible for {body_len}-byte stream")
     if dst_len is None:
         dst_len = ulen
     if ulen > dst_len:

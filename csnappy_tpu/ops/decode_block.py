@@ -187,53 +187,79 @@ def _mark_tags(levels, entry, P):
 
 
 def _cover(t, is_tag, os, entry_out, total_out, out_cap, P):
-    """Per-output-byte covering-tag fields, scatter-free."""
+    """Per-output-byte covering-tag fields, scatter-free.
+
+    Two gather windows per output chunk (a long literal can put the tags
+    after it arbitrarily far past the chunk that covers the chunk start):
+      * row A  — chain chunk ``ic`` = max{c : entry_out[c] <= o_chunk_start}.
+        The tag covering the chunk start lives in ``ic`` itself.
+      * window B — WIN chunks from ``ic2`` = the next chain chunk after
+        ``ic`` (first with entry_out > o_chunk_start).  Tags past the
+        straddling tag with os inside this output chunk span <= 128*5+5
+        input bytes from ic2's entry, so WIN=8 chunks suffice.
+    The covering tag of byte o = the candidate with the larger os <= o
+    (os is strictly increasing over tags, so max-os = latest tag).
+    """
     CI, CO = P // L, out_cap // L
     o_chunk_start = jnp.arange(CO, dtype=jnp.int32) << 7
 
-    # chain chunk covering each output-chunk start: last c with entry_out <= o
-    # (chunks the chain never enters have entry −1; carry forward prev value)
+    # chunks the chain never enters have entry −1
     has_entry = entry_out >= 0
     eo = entry_out
-    # ic(t) = max{c : chain entered c and entry_out[c] <= t*128}
-    cmpm = (eo[None, :] <= o_chunk_start[:, None]) & has_entry[None, :]
+    cmpm = has_entry[None, :] & (eo[None, :] <= o_chunk_start[:, None])
     cidx = jax.lax.broadcasted_iota(jnp.int32, (CO, CI), 1)
-    ic = jnp.max(jnp.where(cmpm, cidx, -1), axis=1)
-    ic = jnp.clip(ic, 0, CI - 1)
+    ic = jnp.clip(jnp.max(jnp.where(cmpm, cidx, -1), axis=1), 0, CI - 1)
+    nxt = has_entry[None, :] & (eo[None, :] > o_chunk_start[:, None])
+    ic2 = jnp.clip(jnp.min(jnp.where(nxt, cidx, CI), axis=1), 0, CI - 1)
 
-    # window of WIN input chunks per output chunk: scalar-indexed row copies
-    rows = (ic[None, :] + jnp.arange(WIN)[:, None]).reshape(-1)  # (WIN*CO,)
+    rows = jnp.concatenate(
+        [ic, (ic2[None, :] + jnp.arange(WIN)[:, None]).reshape(-1)]
+    )  # (CO + WIN*CO,)
 
     def window(field):
-        got = prim.row_gather(field.reshape(CI, L), rows)        # (WIN*CO, L)
-        return got.reshape(WIN, CO, L).transpose(1, 0, 2).reshape(CO, WIN * L)
+        got = prim.row_gather(field.reshape(CI, L), rows)  # (CO + WIN*CO, L)
+        a = got[:CO]                                       # (CO, L)
+        b = got[CO:].reshape(WIN, CO, L).transpose(1, 0, 2).reshape(CO, WIN * L)
+        return a, b
 
     big = (1 << 22) - 1
     os_key = jnp.where(is_tag, jnp.minimum(os, big), big)
-    w_os = window(os_key)
+    a_os, b_os = window(os_key)
     # packed fields: kind(2b) | off(17b valid<=2^17) … off needs up to 17 bits
     off_clip = jnp.clip(t["copy_off"], 0, (1 << 17) - 1)
     packed = t["kind"] | (off_clip << 2)
-    w_packed = window(packed)
-    w_lit = window(jnp.clip(t["lit_src"], 0, P - 1))
+    a_packed, b_packed = window(packed)
+    a_lit, b_lit = window(jnp.clip(t["lit_src"], 0, P - 1))
 
     o = jax.lax.broadcasted_iota(jnp.int32, (CO, L), 1) + o_chunk_start[:, None]
-    # last window slot with os <= o  (slots are in input order; os monotone
-    # over real tags, sentinel big elsewhere)
-    le = w_os[:, None, :] <= o[:, :, None]                      # (CO, L, WIN*L)
-    sidx = jax.lax.broadcasted_iota(jnp.int32, (CO, L, WIN * L), 2)
-    slot = jnp.max(jnp.where(le, sidx, -1), axis=2)             # (CO, L)
-    valid = slot >= 0
-    slot_c = jnp.clip(slot, 0, WIN * L - 1)
+    # per window: last slot with os <= o (slots in input order; os strictly
+    # increasing over real tags, sentinel big elsewhere)
+    le_a = a_os[:, None, :] <= o[:, :, None]                   # (CO, L, L)
+    sidx_a = jax.lax.broadcasted_iota(jnp.int32, (CO, L, L), 2)
+    slot_a = jnp.max(jnp.where(le_a, sidx_a, -1), axis=2)      # (CO, L)
+    le_b = b_os[:, None, :] <= o[:, :, None]                   # (CO, L, WIN*L)
+    sidx_b = jax.lax.broadcasted_iota(jnp.int32, (CO, L, WIN * L), 2)
+    slot_b = jnp.max(jnp.where(le_b, sidx_b, -1), axis=2)      # (CO, L)
+    valid_a, valid_b = slot_a >= 0, slot_b >= 0
 
-    def pick(w_field):
-        return prim.rowwise_gather(w_field, slot_c, limbs=3)
+    def pick(w_field, slot, width):
+        return prim.rowwise_gather(w_field, jnp.clip(slot, 0, width - 1), limbs=3)
 
-    t_os = pick(w_os).reshape(-1)
-    t_packed = pick(w_packed).reshape(-1)
-    t_lit = pick(w_lit).reshape(-1)
+    ta_os = pick(a_os, slot_a, L)
+    tb_os = pick(b_os, slot_b, WIN * L)
+    use_b = valid_b & ((tb_os >= ta_os) | ~valid_a)
+
+    def choose(a_field, b_field):
+        va = pick(a_field, slot_a, L)
+        vb = pick(b_field, slot_b, WIN * L)
+        return jnp.where(use_b, vb, va).reshape(-1)
+
+    t_os = jnp.where(use_b, tb_os, ta_os).reshape(-1)
+    t_packed = choose(a_packed, b_packed)
+    t_lit = choose(a_lit, b_lit)
     t_kind = t_packed & 3
     t_off = t_packed >> 2
+    valid = valid_a | valid_b
     live = (jnp.arange(out_cap) < total_out) & valid.reshape(-1)
     return t_os, t_kind, t_off, t_lit, live
 

@@ -58,11 +58,11 @@ def _shard_encode(data, blens, *, bs: int, mesh: Mesh):
     )(data, blens)
 
 
-def _shard_decode(comp, clens, *, out_cap: int, mesh: Mesh):
-    def body(c, l):
+def _shard_decode(comp, clens, dst_limits, *, out_cap: int, mesh: Mesh):
+    def body(c, l, dl):
         out, produced, status = jax.vmap(
             functools.partial(decode_jnp._decode_core, out_cap=out_cap)
-        )(c, l, jnp.full_like(l, out_cap))
+        )(c, l, dl)
         all_prod = jax.lax.all_gather(produced, "blocks", tiled=True)
         offsets = jnp.cumsum(all_prod) - all_prod
         return out, produced, status, offsets
@@ -70,10 +70,10 @@ def _shard_decode(comp, clens, *, out_cap: int, mesh: Mesh):
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P("blocks", None), P("blocks")),
+        in_specs=(P("blocks", None), P("blocks"), P("blocks")),
         out_specs=(P("blocks", None), P("blocks"), P("blocks"), P()),
         check_vma=False,
-    )(comp, clens)
+    )(comp, clens, dst_limits)
 
 
 @functools.lru_cache(maxsize=16)
@@ -134,14 +134,20 @@ def decompress_fragments_sharded(
     B = _pad_batch(max(nb, 1), n_dev)
     batch = np.zeros((B, width), np.uint8)
     clens = np.zeros((B,), np.int32)
+    # per-fragment dst_limit (ADVICE r1: not the batch-wide out_cap, so a
+    # fragment producing more than its declared length is E_OUTPUT_OVERRUN)
+    dlims = np.full((B,), out_cap, np.int32)
     for i, f in enumerate(frags):
         batch[i, : len(f)] = np.frombuffer(f, np.uint8)
         clens[i] = len(f)
+        dlims[i] = out_lens[i]
     fn = _compiled_shard_decode(out_cap, mesh)
     sh_b = NamedSharding(mesh, P("blocks", None))
     sh_l = NamedSharding(mesh, P("blocks"))
     out, produced, status, _ = fn(
-        jax.device_put(batch.astype(np.int32), sh_b), jax.device_put(clens, sh_l)
+        jax.device_put(batch.astype(np.int32), sh_b),
+        jax.device_put(clens, sh_l),
+        jax.device_put(dlims, sh_l),
     )
     out = np.asarray(out)
     produced = np.asarray(produced)

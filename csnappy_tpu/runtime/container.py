@@ -6,11 +6,15 @@ length table doubles as the random-access index (SURVEY.md §5 "checkpoint /
 resume" analog): any page can be located and decoded independently.
 
 Rules mirrored from the reference:
-  * raw fallback — a full page whose compressed form is not smaller is
-    stored uncompressed and identified by ``len == page_size`` at decode
-    (block_compressor.c:315-324, 378-383).  A short tail page is always
-    stored compressed so the raw marker stays unambiguous (the reference
-    leaves that corner undefined).
+  * raw fallback — a page whose compressed form is not smaller is stored
+    uncompressed (block_compressor.c:315-324, 378-383).  A full raw page is
+    identified by ``len == page_size`` exactly as in the reference; a raw
+    *tail* page (shorter than page_size — a corner the reference leaves
+    undefined) carries the ``RAW_BIT`` high bit on its length entry, since
+    an incompressible 4093-4095-byte tail can compress to exactly
+    page_size bytes and would otherwise be ambiguous (ADVICE r1).  Every
+    stored *compressed* length is < ilen <= page_size, so the markers
+    cannot collide with a compressed page.
   * per-page codec behind a vtable (struct compressor_funcs,
     block_compressor.c:233-249) — here "snappy" (TPU kernels, batched) and
     "zlib" (stdlib, host); "lzo" is gated out when no binding exists.
@@ -28,6 +32,8 @@ import numpy as np
 
 from ..errors import E_DATA_MALFORMED, SnappyError
 from ..models import wire
+
+RAW_BIT = 1 << 31  # length-table flag: raw tail page, true length in low bits
 
 
 @dataclass
@@ -87,9 +93,10 @@ def compress_blocks(data: bytes, page_size: int = 4096, codec: str = "snappy") -
         for i in range(nr):
             ilen, olen = int(lens[i]), int(clens[i])
             stats.account(ilen, olen)
-            if olen >= ilen and ilen == page_size:  # raw fallback
-                table += struct.pack("<I", page_size)
-                payload += data[i * page_size : (i + 1) * page_size]
+            if olen >= ilen:  # raw fallback (block_compressor.c:315-324)
+                marker = page_size if ilen == page_size else (RAW_BIT | ilen)
+                table += struct.pack("<I", marker)
+                payload += data[i * page_size : i * page_size + ilen]
             else:
                 table += struct.pack("<I", olen)
                 payload += comp[i, :olen].tobytes()
@@ -100,8 +107,9 @@ def compress_blocks(data: bytes, page_size: int = 4096, codec: str = "snappy") -
             c = zlib.compress(page, 6)
             stats.codec_seconds += time.perf_counter() - t0
             stats.account(len(page), len(c))
-            if len(c) >= len(page) and len(page) == page_size:
-                table += struct.pack("<I", page_size)
+            if len(c) >= len(page):
+                marker = page_size if len(page) == page_size else (RAW_BIT | len(page))
+                table += struct.pack("<I", marker)
                 payload += page
             else:
                 table += struct.pack("<I", len(c))
@@ -120,13 +128,16 @@ def decompress_blocks(container: bytes, page_size: int = 4096, codec: str = "sna
     table_end = 4 + 4 * nr
     if len(container) < table_end:
         raise SnappyError(E_DATA_MALFORMED, "length table truncated")
-    lens = np.frombuffer(container, np.uint32, count=nr, offset=4).astype(np.int64)
+    raw_lens = np.frombuffer(container, np.uint32, count=nr, offset=4)
+    raw_mask = (raw_lens == page_size) | (raw_lens & RAW_BIT > 0)
+    lens = (raw_lens & ~np.uint32(RAW_BIT)).astype(np.int64)
+    if (lens > page_size).any():
+        raise SnappyError(E_DATA_MALFORMED, "length entry exceeds page size")
     offs = np.concatenate([[0], np.cumsum(lens)]) + table_end
     if offs[-1] > len(container):
         raise SnappyError(E_DATA_MALFORMED, "payload truncated")
 
     out = bytearray()
-    raw_mask = lens == page_size
     if codec == "snappy":
         comp_idx = [i for i in range(nr) if not raw_mask[i]]
         if comp_idx:
@@ -147,8 +158,8 @@ def decompress_blocks(container: bytes, page_size: int = 4096, codec: str = "sna
         j = 0
         for i in range(nr):
             if raw_mask[i]:
-                out += container[offs[i] : offs[i] + page_size]
-                stats.account(page_size, page_size)
+                out += container[offs[i] : offs[i] + lens[i]]
+                stats.account(int(lens[i]), int(lens[i]))
             else:
                 out += dec[j, : produced[j]].tobytes()
                 stats.account(int(produced[j]), int(lens[i]))

@@ -44,6 +44,19 @@ class TestApi:
         with pytest.raises(errors.SnappyError):
             api.decompress(FAKE)
 
+    def test_hostile_header_length_rejected(self):
+        # ADVICE r1 (low): a 5-byte header claiming 2^32-1 bytes must not
+        # drive a multi-GiB allocation — impossible expansions are rejected
+        hostile = wire.varint_encode((1 << 32) - 1) + b"\x00a"
+        with pytest.raises(errors.SnappyError) as ei:
+            api.decompress(hostile)
+        assert ei.value.code == errors.E_HEADER_BAD
+        # a legitimate high-expansion stream still decodes: 1-byte literal
+        # then max-length offset-1 copies
+        data = b"z" * 30000
+        comp = api.compress(data, backend="py")
+        assert api.decompress(comp) == data
+
     def test_selftest_compression_contract(self):
         """cl_tester -S c analog (cl_tester.c:127-165): the compressor must
         stay within max_compressed_length even on incompressible input —
@@ -93,6 +106,17 @@ class TestContainer:
         # container size = header + table + raw pages
         assert len(cont) == 4 + 16 + len(data)
         out, _ = container.decompress_blocks(cont, page_size=4096)
+        assert out == data
+
+    @pytest.mark.parametrize("tail", [4093, 4094, 4095, 100, 1])
+    @pytest.mark.parametrize("codec", ["snappy", "zlib"])
+    def test_incompressible_tail_page(self, tail, codec):
+        # ADVICE r1 (medium): an incompressible 4093-4095B tail compresses to
+        # exactly page_size bytes and must not be misread as a raw full page
+        rng = np.random.default_rng(3)
+        data = rng.integers(0, 256, size=4096 + tail, dtype=np.uint8).tobytes()
+        cont, _ = container.compress_blocks(data, page_size=4096, codec=codec)
+        out, _ = container.decompress_blocks(cont, page_size=4096, codec=codec)
         assert out == data
 
     def test_truncated_container_rejected(self, urls10k):

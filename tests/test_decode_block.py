@@ -66,6 +66,34 @@ def test_long_literal_crossing_chunks():
     assert status == errors.E_OK and out[:3000].tobytes() == data
 
 
+def test_long_literal_then_copies():
+    # ADVICE r1 (high): a long literal (payload > ~768B) ending mid-output-
+    # chunk pushes the following tags arbitrarily far past the fixed window
+    # based at the chunk covering the output-chunk start; the cover step must
+    # follow the chain (ic2 window) or it attributes those bytes to the
+    # literal.  Reproduces the round-1 silent corruption at offset ~2008.
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, 2000, dtype=np.uint8).tobytes() + b"abcdefgh" * 200
+    frag = pymodel.compress_fragment(data)
+    out, produced, status = _decode_one(frag, 4096)
+    assert status == errors.E_OK
+    assert produced == len(data)
+    assert out[: len(data)].tobytes() == data
+
+
+def test_long_literal_then_copies_sweep():
+    # sweep the literal tail across output-chunk phases and literal lengths
+    rng = np.random.default_rng(11)
+    for lit_len in (900, 1500, 2047, 2048, 2049, 3000):
+        for tail in (b"xy" * 300, b"0123456789abcdef" * 64):
+            data = rng.integers(0, 256, lit_len, dtype=np.uint8).tobytes() + tail
+            data = data[:4096]
+            frag = pymodel.compress_fragment(data)
+            out, produced, status = _decode_one(frag, 4096)
+            assert status == errors.E_OK, (lit_len, len(tail), status)
+            assert out[: len(data)].tobytes() == data, (lit_len, len(tail))
+
+
 def test_copy4_accepted():
     from csnappy_tpu.models import wire
 

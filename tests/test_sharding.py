@@ -28,6 +28,18 @@ def test_decompress_fragments_sharded(urls10k, mesh8):
     assert b"".join(outs) == urls10k
 
 
+def test_per_fragment_dst_limit_enforced(urls10k, mesh8):
+    # ADVICE r1 (low): a fragment producing more than its declared out_len
+    # must be flagged E_OUTPUT_OVERRUN, not silently returned oversized
+    from csnappy_tpu import errors
+
+    good = urls10k[:32768]
+    frags = [pymodel.compress_fragment(good), pymodel.compress_fragment(good)]
+    with pytest.raises(errors.SnappyError) as ei:
+        pmesh.decompress_fragments_sharded(frags, [len(good), len(good) - 1], mesh8)
+    assert ei.value.code == errors.E_OUTPUT_OVERRUN
+
+
 def test_uneven_block_count(urls10k, mesh8):
     # 5 blocks over 8 devices: padding blocks must stay inert
     data = urls10k[: 32768 * 4 + 777]
