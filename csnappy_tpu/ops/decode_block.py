@@ -331,6 +331,9 @@ def _compiled(P: int, out_cap: int):
     return jax.jit(jax.vmap(functools.partial(_decode_block_core, out_cap=out_cap)))
 
 
+prim.register_trace_cache(_compiled)
+
+
 def decode_blocks(comp: np.ndarray, src_lens: np.ndarray, block_out: int):
     """Batched independent-fragment decode (drop-in for decode_jnp.decode_blocks)."""
     B, P = comp.shape

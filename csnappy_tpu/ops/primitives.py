@@ -11,6 +11,7 @@ one-hots are 0/1 and thus exact in bf16).
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -20,8 +21,40 @@ from jax.experimental.pallas import tpu as pltpu
 
 L = 128
 
+# Tests flip this (via force_pallas) so the *shipping* Pallas kernels run —
+# in interpret mode — on the CPU backend instead of the jnp fallback.
+_FORCE_PALLAS = False
+# jitted wrappers bake the backend branch at trace time; they register their
+# caches here so force_pallas() can invalidate them
+_TRACE_CACHES: list = []
+
+
+def register_trace_cache(cache) -> None:
+    _TRACE_CACHES.append(cache)
+
+
+@contextlib.contextmanager
+def force_pallas():
+    """Run every primitive through its Pallas kernel (interpret mode on CPU)."""
+    global _FORCE_PALLAS
+    old = _FORCE_PALLAS
+    _FORCE_PALLAS = True
+    for c in _TRACE_CACHES:
+        c.cache_clear()
+    try:
+        yield
+    finally:
+        _FORCE_PALLAS = old
+        for c in _TRACE_CACHES:
+            c.cache_clear()
+
 
 def _on_cpu() -> bool:
+    return jax.default_backend() == "cpu" and not _FORCE_PALLAS
+
+
+def interpret_mode() -> bool:
+    """Pallas interpret flag: interpret when no real TPU backend is active."""
     return jax.default_backend() == "cpu"
 
 
@@ -55,6 +88,7 @@ def local_gather(values, idx):
             pl.BlockSpec((RC, L), lambda c: (c, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((RC, L), lambda c: (c, 0), memory_space=pltpu.VMEM),
+        interpret=interpret_mode(),
     )(v2, i2)
     return out.reshape(shape)
 
@@ -97,6 +131,7 @@ def local_scatter_or(mask, tgt):
             pl.BlockSpec((RC, L), lambda c: (c, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((RC, L), lambda c: (c, 0), memory_space=pltpu.VMEM),
+        interpret=interpret_mode(),
     )(m2, t2)
     return out.reshape(shape)
 
@@ -148,6 +183,7 @@ def compose_round(F, S, E, chunk_end):
         grid=(C // RC,),
         in_specs=[spec, spec, spec, spec],
         out_specs=(spec, spec, spec),
+        interpret=interpret_mode(),
     )(F2, S2, E2, C2)
     return Fn.reshape(shape), Sn.reshape(shape), En.reshape(shape)
 
@@ -194,6 +230,7 @@ def row_gather(table2d, rows, limbs=3):
             pl.BlockSpec((8, RT), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8 * RT, L), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        interpret=interpret_mode(),
     )(tbl, r2)
     return out
 
@@ -246,6 +283,7 @@ def table_gather(table, idx, limbs=2):
             pl.BlockSpec((8, TW), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, TW), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        interpret=interpret_mode(),
     )(table.reshape(R, L), row, lane)
     return out.reshape(Np)[:N]
 
@@ -289,5 +327,6 @@ def rowwise_gather(tables, idx, limbs=3):
             pl.BlockSpec((8, N), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, N), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        interpret=interpret_mode(),
     )(tables_p, idx_p)
     return out[:G]
