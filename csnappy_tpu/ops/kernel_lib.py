@@ -159,6 +159,167 @@ def local_gather_rows(vals: jnp.ndarray, li: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.where(oh, vals[..., None, :], 0), axis=-1)
 
 
+# --------------------------------------------------------------------------
+# MXU-backed shifts and scans.  pltpu.roll measures ~1µs/op on this chip
+# (mosaic_probe r2: roll_static_min 993ns, roll_dyn 679ns) — a static shift
+# as a multiply by a constant 0/1 permutation matrix costs ~50ns on the MXU
+# instead.  f32 dots are exact for the 16-bit halves we feed them.
+# --------------------------------------------------------------------------
+
+
+def _shift_mat(k: int, n: int, up: bool) -> jnp.ndarray:
+    """(n, n) f32 with M[i, j] = 1 iff (j == i + k) [down: x@M shifts toward
+    higher indices] or (j == i - k) [up]."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return ((j == i - k) if up else (j == i + k)).astype(jnp.float32)
+
+
+def _mm_shift(x: jnp.ndarray, k: int, up: bool, bits: int) -> jnp.ndarray:
+    """Zero-fill lane shift of (R, L) int32 by static k via permutation dot."""
+    if k == 0:
+        return x
+    m = _shift_mat(k % L, L, up)
+    if bits <= 16:
+        y = jnp.dot(x.astype(jnp.float32), m, preferred_element_type=jnp.float32)
+        return y.astype(jnp.int32)
+    lo = (x & 0xFFFF).astype(jnp.float32)
+    hi = ((x >> 16) & 0x7FFF).astype(jnp.float32)
+    ylo = jnp.dot(lo, m, preferred_element_type=jnp.float32).astype(jnp.int32)
+    yhi = jnp.dot(hi, m, preferred_element_type=jnp.float32).astype(jnp.int32)
+    return ylo | (yhi << 16)
+
+
+def lane_shift_down(x: jnp.ndarray, k: int, bits: int = 31) -> jnp.ndarray:
+    """y[r, l] = x[r, l-k] (zero fill), static k in [0, L)."""
+    return _mm_shift(x, k, up=False, bits=bits)
+
+
+def lane_shift_up(x: jnp.ndarray, k: int, bits: int = 31) -> jnp.ndarray:
+    """y[r, l] = x[r, l+k] (zero fill), static k in [0, L)."""
+    return _mm_shift(x, k, up=True, bits=bits)
+
+
+def row_shift_down(x: jnp.ndarray, k: int, fill: int = 0) -> jnp.ndarray:
+    """y[r] = x[r-k] rows (fill rows at the top), static k."""
+    if k == 0:
+        return x
+    pad = jnp.full((k,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([pad, x[: x.shape[0] - k]], axis=0)
+
+
+def row_shift_up(x: jnp.ndarray, k: int, fill: int = 0) -> jnp.ndarray:
+    """y[r] = x[r+k] rows (fill rows at the bottom), static k."""
+    if k == 0:
+        return x
+    pad = jnp.full((k,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([x[k:], pad], axis=0)
+
+
+def stream_shift_up_mm(x: jnp.ndarray, d: int, bits: int = 31) -> jnp.ndarray:
+    """y[flat i] = x[flat i + d] (zero fill), 0 <= d < L, via MXU shifts."""
+    if d == 0:
+        return x
+    cur = lane_shift_up(x, d, bits)
+    nxt = lane_shift_down(row_shift_up(x, 1), L - d, bits)
+    return cur + nxt  # disjoint non-zero lanes
+
+
+def scan2d_mm(x: jnp.ndarray, op: str = "max", bits: int = 31) -> jnp.ndarray:
+    """Inclusive row-major scan of (R, L) int32 using MXU shifts.
+
+    op "max": requires x > NEG/2 sentinel discipline from the caller (empty
+    cells should hold a value smaller than every real one, e.g. 0 with all
+    real keys >= 1).  op "add": f32-exact for totals < 2^24.
+    """
+    R = x.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = x
+    k = 1
+    while k < L:
+        sh = lane_shift_down(s, k, bits)
+        if op == "max":
+            sh = jnp.where(lane >= k, sh, NEG)
+        s = _combine(op, s, sh)
+        k <<= 1
+    tot = s[:, L - 1 : L]                              # (R, 1) row totals
+    t = tot
+    k = 1
+    while k < R:
+        tk = row_shift_down(t, k, fill=(NEG if op == "max" else 0))
+        t = _combine(op, t, tk)
+        k <<= 1
+    excl = row_shift_down(t, 1, fill=(NEG if op == "max" else 0))
+    return _combine(op, s, jnp.broadcast_to(excl, x.shape))
+
+
+# --------------------------------------------------------------------------
+# Batched one-hot gather / scatter.  Per-row invocations are overhead-bound
+# (mosaic_probe r2: 492ns per 128-element gather); concatenating 8 rows of
+# one-hots along the lane axis amortizes it into one big MXU contraction.
+# --------------------------------------------------------------------------
+
+
+def _cat_lanes(rows):
+    return jnp.concatenate(rows, axis=1)
+
+
+def gather_flat8(table: jnp.ndarray, idx8: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """y (8, L) = table[flat idx8] for table (R, L) int32 in [0, 2^bits).
+
+    idx8: (8, L) int32, caller-clipped to [0, R*L).  One (R, 8L) one-hot
+    contraction per limb.
+    """
+    R = table.shape[0]
+    roh = _cat_lanes([onehot_rows_t(idx8[j : j + 1, :], R) for j in range(8)])
+    loh = _cat_lanes([onehot_lanes_t(idx8[j : j + 1, :]) for j in range(8)])
+    limbs = (bits + 7) // 8
+    acc = jnp.zeros((1, 8 * L), jnp.int32)
+    for k in range(limbs):
+        picked = jax.lax.dot_general(
+            limb_f(table, k), roh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (L, 8L)
+        val = jnp.sum(jnp.where(loh > 0, picked, 0.0), axis=0, keepdims=True)
+        acc = acc | (val.astype(jnp.int32) << (8 * k))
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (8, L), 0)
+    out = jnp.zeros((8, L), jnp.int32)
+    for j in range(8):
+        out = jnp.where(rowi == j, jnp.broadcast_to(acc[:, j * L : (j + 1) * L], (8, L)), out)
+    return out
+
+
+def scatter_sum8(
+    pos8: jnp.ndarray, val8: jnp.ndarray, mask8: jnp.ndarray,
+    out_rows: int, bits: int,
+) -> jnp.ndarray:
+    """H (out_rows, L) partial: H[flat pos8[j,e]] += val8[j,e] where mask8.
+
+    pos8/val8 (8, L) int32, mask8 (8, L) bool; positions unique across all
+    tiles (sum == store).  One (out_rows, 8L)x(L, 8L)^T contraction per limb.
+    """
+    p = jnp.where(mask8, pos8, out_rows * L)
+    roh = _cat_lanes([onehot_rows_t(p[j : j + 1, :], out_rows) for j in range(8)])
+    lohs = []
+    for j in range(8):
+        lj = onehot_lanes_t(p[j : j + 1, :])
+        lohs.append(jnp.where(mask8[j : j + 1, :], lj, 0))
+    loh = _cat_lanes(lohs)
+    vcat = _cat_lanes([val8[j : j + 1, :] for j in range(8)])
+    limbs = (bits + 7) // 8
+    acc = jnp.zeros((out_rows, L), jnp.int32)
+    for k in range(limbs):
+        w = roh * ((vcat >> (8 * k)) & 0xFF).astype(jnp.bfloat16)
+        h = jax.lax.dot_general(
+            w, loh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc | (h.astype(jnp.int32) << (8 * k))
+    return acc
+
+
 def scatter_sum_tile(
     pos_row: jnp.ndarray, val_row: jnp.ndarray, mask_row: jnp.ndarray,
     out_rows: int, bits: int,

@@ -88,6 +88,68 @@ def test_local_gather_rows():
     np.testing.assert_array_equal(got, np.take_along_axis(v, li, axis=1))
 
 
+@pytest.mark.parametrize("d", [1, 2, 4, 5])
+def test_stream_shift_up_mm(d):
+    x = np.arange(16 * 128, dtype=np.int32).reshape(16, 128) * 7 + 3
+
+    def k(x_ref, o_ref):
+        o_ref[...] = kl.stream_shift_up_mm(x_ref[...], d)
+
+    got = np.asarray(_run(k, (16, 128), jnp.asarray(x))).reshape(-1)
+    want = np.zeros(16 * 128, np.int32)
+    want[: 16 * 128 - d] = x.reshape(-1)[d:]
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("op,bits", [("max", 31), ("add", 16)])
+@pytest.mark.parametrize("rows", [8, 24])
+def test_scan2d_mm(op, bits, rows):
+    r = np.random.default_rng(4)
+    hi = (1 << 30) if op == "max" else 1000
+    x = r.integers(0, hi, (rows, 128)).astype(np.int32)
+
+    def k(x_ref, o_ref):
+        o_ref[...] = kl.scan2d_mm(x_ref[...], op=op, bits=bits)
+
+    got = np.asarray(_run(k, (rows, 128), jnp.asarray(x))).reshape(-1)
+    f = np.maximum.accumulate if op == "max" else np.cumsum
+    np.testing.assert_array_equal(got, f(x.reshape(-1)).astype(np.int32))
+
+
+@pytest.mark.parametrize("bits", [8, 19])
+def test_gather_flat8(bits):
+    r = np.random.default_rng(5)
+    tbl = r.integers(0, 1 << bits, (24, 128)).astype(np.int32)
+    idx = r.integers(0, 24 * 128, (8, 128)).astype(np.int32)
+
+    def k(t_ref, i_ref, o_ref):
+        o_ref[...] = kl.gather_flat8(t_ref[...], i_ref[...], bits)
+
+    got = np.asarray(_run(k, (8, 128), jnp.asarray(tbl), jnp.asarray(idx)))
+    np.testing.assert_array_equal(got, tbl.reshape(-1)[idx])
+
+
+@pytest.mark.parametrize("bits", [16, 31])
+def test_scatter_sum8(bits):
+    r = np.random.default_rng(6)
+    pos = r.permutation(16 * 128)[: 8 * 128].astype(np.int32).reshape(8, 128)
+    val = r.integers(0, 1 << bits, (8, 128)).astype(np.int32)
+    mask = r.random((8, 128)) < 0.7
+
+    def k(p_ref, v_ref, m_ref, o_ref):
+        o_ref[...] = kl.scatter_sum8(
+            p_ref[...], v_ref[...], m_ref[...] > 0, 16, bits
+        )
+
+    got = np.asarray(
+        _run(k, (16, 128), jnp.asarray(pos), jnp.asarray(val),
+             jnp.asarray(mask.astype(np.int32)))
+    ).reshape(-1)
+    want = np.zeros(16 * 128, np.int32)
+    want[pos[mask]] = val[mask]
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("bits", [16, 31])
 def test_scatter_sum_tile(bits):
     r = np.random.default_rng(3)
