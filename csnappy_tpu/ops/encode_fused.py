@@ -1,0 +1,503 @@
+"""Fused TPU block encoder — sort-based match finding + scalar greedy walk.
+
+Round 1's encoder rode XLA scatter/gather formulations that serialize on
+TPU (VERDICT r1: 0.8 MB/s).  This design splits the work by hardware unit:
+
+  1. candidates (XLA, dense): hash every 4-byte window with the reference
+     multiplier (csnappy_compress.c:228-232) and sort (hash<<15 | pos) keys
+     — each position's sorted predecessor with equal hash IS its most
+     recent prior occurrence.  This replaces the reference's lossy 2^16
+     hash table (csnappy_compress.c:501,535-551) with an exact
+     most-recent-match index; any match source is format-conformant
+     (csnappy_compress.c:221-227).
+  2. kernel: un-sort the candidate list with one-hot MXU scatters; compute
+     next-candidate jump targets (suffix-min scan) so literal stretches
+     cost O(1) walk steps, the vector analog of the reference's skip>>5
+     literal acceleration (csnappy_compress.c:535-551).
+  3. greedy walk (scalar unit + SMEM): the commit chain is sequential by
+     nature (FindMatchLength + "jump len" greediness,
+     csnappy_compress.c:469-606); a SCAN/EXTEND state machine walks it with
+     the whole block resident in SMEM as packed LE words, extending matches
+     word-at-a-time with the trailing-equal-bytes trick (the vector dual of
+     FindMatchLength's ctz, csnappy_compress.c:252-295).  Emits compact
+     (pos, len, off, is_match) tags, 64-byte chunked like EmitCopy
+     (csnappy_compress.c:395-415).
+  4. emission (dense): per-tag sizes -> output offsets by MXU add-scan;
+     covering-tag map by one-hot scatter + running-max fill; every output
+     byte computes its value densely (EmitLiteral/EmitCopyLessThan64 rules,
+     csnappy_compress.c:332-415), with one one-hot gather for literal
+     payload bytes.
+
+Grammar guarantees: COPY_1 iff len<12 & offset<2048, no COPY_4, no
+cross-block offsets, output <= 32 + n + n/6 (csnappy_compress.c:612-616).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models import wire
+from . import kernel_lib as kl
+from . import primitives as prim
+
+L = 128
+MAXW = 16         # SMEM walk-stream window rows (2 KiB of positions)
+TBUF = 8          # SMEM tag buffer rows (1024 tags per flush)
+INNER = 512       # walk steps per outer round
+NOCAND = 0x7FFF   # candidate sentinel
+NONEXT = 0xFFFF   # next-candidate sentinel
+
+
+def _trows(BS: int) -> int:
+    return ((BS // 2 + TBUF * L - 1) // (TBUF * L)) * TBUF
+
+
+def _ocr(BS: int) -> int:
+    return (wire.max_compressed_length(BS) + 1023) // 1024 * 8
+
+
+def _srl(x, k):
+    return jax.lax.shift_right_logical(x, k)
+
+
+def _kernel(
+    blen_ref, data_ref, w_ref, spos_ref, scand_ref,      # inputs
+    comp_ref, meta_ref,                                  # outputs
+    cand_ref, wst_ref, wpk_ref,                          # dense scratch
+    t1_ref, t2_ref, spq_ref, sp1_ref, sp2_ref, sp3_ref,  # tag scratch
+    h1_ref, h2_ref, h3_ref, vals_ref, lidx_ref,          # emission scratch
+    sps_ref, scs_ref,                                    # sorted-input copies
+    dpk_smem, wwin_smem, tb1_smem, tb2_smem, sem,        # SMEM + DMA
+    *, BR: int, OCR: int,
+):
+    BS, OCAP = BR * L, OCR * L
+    BRW = BS // 4 // L                                   # packed-word rows
+    BRP = BR + MAXW
+    TR = _trows(BS)
+    TMAX = TR * L
+    MAX_ROUNDS = 4 * BS // INNER + TR // TBUF + 32
+    b = pl.program_id(0)
+    blen = blen_ref[b]
+    data = data_ref[0]
+    w = w_ref[0]
+    pos = kl.row_iota(BR)
+
+    # -------------------------------------------------- un-sort candidates
+    sps_ref[...] = spos_ref[0]
+    scs_ref[...] = scand_ref[0]
+    cand_ref[...] = jnp.zeros((BR, L), jnp.int32)
+
+    def unsort_grp(g, _):
+        r0 = pl.multiple_of(g * 8, 8)
+        (part,) = kl.scatter_rows_multi(sps_ref, [(scs_ref, 16)], r0, BR)
+        cand_ref[...] += part
+        return 0
+
+    jax.lax.fori_loop(0, BR // 8, unsort_grp, 0)
+
+    # ------------------------------------------- next-candidate jump table
+    cand = cand_ref[...]
+    has = (cand != NOCAND) & (pos + 4 <= blen) & (cand < pos)
+    v = jnp.where(has, pos, NONEXT)
+    nc = kl.flip2d(
+        kl.scan2d_mm(kl.flip2d(v, 16), "min", bits=16, fill=NONEXT), 16
+    )
+    wst_ref[0:BR, :] = jnp.where(has, cand, NOCAND) | (nc << 16)
+    wst_ref[BR:BRP, :] = jnp.full((MAXW, L), NOCAND | (NONEXT << 16), jnp.int32)
+
+    # --------------------------------- pack LE words 4-per-int32 into SMEM
+    lo16 = w & 0xFFFF
+    hi16 = _srl(w, 16)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (BRW, BR), 0)
+    rj = jax.lax.broadcasted_iota(jnp.int32, (BRW, BR), 1)
+    mi = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    mj = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    packed = jnp.zeros((BRW, L), jnp.int32)
+    for q in range(4):
+        Rq = (rj == 4 * ri + q).astype(jnp.float32)      # (BRW, BR)
+        Mq = (
+            (mj >= 32 * q) & (mj < 32 * (q + 1)) & (mi == 4 * (mj - 32 * q))
+        ).astype(jnp.float32)                            # (L, L)
+        for half, shift in ((lo16, 0), (hi16, 16)):
+            rows = jnp.dot(Rq, half.astype(jnp.float32), preferred_element_type=jnp.float32)
+            sel = jnp.dot(rows, Mq, preferred_element_type=jnp.float32)
+            packed = packed | (sel.astype(jnp.int32) << shift)
+    wpk_ref[...] = packed
+    cpd = pltpu.make_async_copy(wpk_ref, dpk_smem, sem)
+    cpd.start()
+    cpd.wait()
+
+    # --------------------------------------------------------- greedy walk
+    cp0 = pltpu.make_async_copy(wst_ref.at[0:MAXW], wwin_smem, sem)
+    cp0.start()
+    cp0.wait()
+
+    def w_at(idx):
+        """LE 4-byte word at byte index idx, from packed SMEM words."""
+        k = idx >> 2
+        r = idx & 3
+        k2 = jnp.minimum(k + 1, BRW * L - 1)
+        a = dpk_smem[k >> 7, k & (L - 1)]
+        c = dpk_smem[k2 >> 7, k2 & (L - 1)]
+        comb = _srl(a, 8 * r) | jax.lax.shift_left(c, (32 - 8 * r) & 31)
+        return jnp.where(r == 0, a, comb)
+
+    def outer_cond(c):
+        return (c[8] == 0) & (c[10] < MAX_ROUNDS)
+
+    def outer_body(c):
+        p, lits, t, tc, mode, mstart, mcand, j, done, wb, rounds = c
+        full = tc >= TBUF * L
+
+        @pl.when(full)
+        def _():
+            fr = (t >> 7) - TBUF
+            c1 = pltpu.make_async_copy(tb1_smem, t1_ref.at[pl.ds(fr, TBUF)], sem)
+            c1.start()
+            c1.wait()
+            c2 = pltpu.make_async_copy(tb2_smem, t2_ref.at[pl.ds(fr, TBUF)], sem)
+            c2.start()
+            c2.wait()
+
+        tc = jnp.where(full, 0, tc)
+        iw0 = p - wb * L
+        needw = (iw0 < 0) | (iw0 >= MAXW * L)
+        wb2 = jnp.where(needw, jnp.minimum(p >> 7, BRP - MAXW), wb)
+
+        @pl.when(needw)
+        def _():
+            cw = pltpu.make_async_copy(wst_ref.at[pl.ds(wb2, MAXW)], wwin_smem, sem)
+            cw.start()
+            cw.wait()
+
+        def inner(i, ic):
+            # Modes: 0 = SCAN (probe/jump at p), 1 = EXTEND (one word-compare
+            # step of the match at mstart/mcand), 2 = EMITC (emit the pending
+            # copy tag, length carried in j).  Every iteration emits at most
+            # ONE tag, so the buffer flushes exactly at TBUF*L (aligned DMA).
+            p, lits, t, tc, mode, mstart, mcand, j, done, stall = ic
+            active = (done == 0) & (stall == 0)
+            room = tc < TBUF * L
+            scan = active & (mode == 0)
+            ext = active & (mode == 1)
+            emc = active & (mode == 2)
+
+            # ---- SCAN: read walk stream at p
+            iw = p - wb2 * L
+            inwin = (iw >= 0) & (iw < MAXW * L)
+            iwc = jnp.clip(iw, 0, MAXW * L - 1)
+            vv = wwin_smem[iwc >> 7, iwc & (L - 1)]
+            s_cand = vv & 0xFFFF
+            s_nc = _srl(vv, 16) & 0xFFFF
+            at_end = p >= blen
+            s_stall = scan & ~at_end & ~inwin
+            scan_ok = scan & ~s_stall
+            # end: emit the final pending literal (needs room), stop
+            want_end = scan_ok & at_end
+            end_lit = want_end & (lits < blen) & (t < TMAX)
+            end_emit = end_lit & room
+            e1_stall = end_lit & ~room
+
+            @pl.when(end_emit)
+            def _():
+                tb1_smem[tc >> 7, tc & (L - 1)] = lits | ((blen - lits) << 15)
+                tb2_smem[tc >> 7, tc & (L - 1)] = 0
+
+            s_done = want_end & ~e1_stall
+            can = scan_ok & ~at_end & (s_cand != NOCAND)
+            jump = scan_ok & ~at_end & ~can
+            p_jump = jnp.clip(jnp.maximum(s_nc, p + 1), 0, blen)
+
+            # ---- EXTEND: one word-compare step
+            a = w_at(jnp.clip(mstart + j, 0, BS - 1))
+            bw = w_at(jnp.clip(mcand + j, 0, BS - 1))
+            x = a ^ bw
+            rem = blen - mstart
+            mlmax = jnp.minimum(rem, wire.MAX_COPY_LEN)
+            cont = ext & (x == 0) & (j + 4 < mlmax)
+            fin = ext & ~cont
+            eqb = jnp.where(
+                x == 0,
+                4,
+                ((x & 0xFF) == 0).astype(jnp.int32)
+                + ((x & 0xFFFF) == 0).astype(jnp.int32)
+                + ((x & 0xFFFFFF) == 0).astype(jnp.int32),
+            )
+            ml = jnp.minimum(j + eqb, mlmax)
+            good = fin & (ml >= wire.MIN_MATCH) & (t < TMAX)
+            bad = fin & ~good
+            needlit = good & (lits < mstart)
+            lit_emit = needlit & room
+            l_stall = needlit & ~room
+
+            @pl.when(lit_emit)
+            def _():
+                tb1_smem[tc >> 7, tc & (L - 1)] = lits | ((mstart - lits) << 15)
+                tb2_smem[tc >> 7, tc & (L - 1)] = 0
+
+            # good -> EMITC next (after the literal, if any, went out)
+            to_emc = good & ~l_stall
+
+            # ---- EMITC: emit the pending copy tag (length in j)
+            c_emit = emc & room & (t < TMAX)
+            c_stall = emc & ~room
+
+            @pl.when(c_emit)
+            def _():
+                tb1_smem[tc >> 7, tc & (L - 1)] = (
+                    mstart | (j << 15) | jnp.int32(-(2**31))
+                )
+                tb2_smem[tc >> 7, tc & (L - 1)] = mstart - mcand
+
+            # long match: emit 64 and keep extending the same pair
+            longer = c_emit & (j == wire.MAX_COPY_LEN) & (blen - mstart > wire.MAX_COPY_LEN)
+            c_fin = c_emit & ~longer
+            emitted = end_emit | lit_emit | c_emit
+
+            return (
+                jnp.where(jump, p_jump,
+                          jnp.where(c_fin, mstart + j, jnp.where(bad, mstart + 1, p))),
+                jnp.where(c_emit, mstart + j, lits),
+                jnp.where(emitted, t + 1, t),
+                jnp.where(emitted, tc + 1, tc),
+                jnp.where(can | longer, 1,
+                          jnp.where(to_emc, 2, jnp.where(bad | c_fin, 0, mode))),
+                jnp.where(can, p, jnp.where(longer, mstart + wire.MAX_COPY_LEN, mstart)),
+                jnp.where(can, s_cand, jnp.where(longer, mcand + wire.MAX_COPY_LEN, mcand)),
+                jnp.where(can | longer, 0, jnp.where(cont, j + 4, jnp.where(to_emc, ml, j))),
+                done | jnp.where(s_done, 1, 0),
+                stall | jnp.where(s_stall | e1_stall | l_stall | c_stall, 1, 0),
+            )
+
+        p, lits, t, tc, mode, mstart, mcand, j, done, _ = jax.lax.fori_loop(
+            0, INNER, inner,
+            (p, lits, t, tc, mode, mstart, mcand, j, done, jnp.int32(0)),
+        )
+        return p, lits, t, tc, mode, mstart, mcand, j, done, wb2, rounds + 1
+
+    z = jnp.int32(0)
+    st = jax.lax.while_loop(
+        outer_cond, outer_body, (z, z, z, z, z, z, z, z, z, z, z)
+    )
+    _p, _lits, ntags, tc_f, _m, _ms, _mc, _j, done_f, _wb, _r = st
+
+    @pl.when(tc_f > 0)
+    def _():
+        fr = (ntags - tc_f) >> 7
+        c1 = pltpu.make_async_copy(tb1_smem, t1_ref.at[pl.ds(fr, TBUF)], sem)
+        c1.start()
+        c1.wait()
+        c2 = pltpu.make_async_copy(tb2_smem, t2_ref.at[pl.ds(fr, TBUF)], sem)
+        c2.start()
+        c2.wait()
+
+    # ------------------------------------------------------------ emission
+    ti = kl.row_iota(TR) < ntags
+    t1v = t1_ref[...]
+    ism = _srl(t1v, 31)
+    pos_t = t1v & 0x7FFF
+    len_t = _srl(t1v, 15) & 0xFFFF
+    off_t = t2_ref[...]
+    rl1 = jnp.maximum(len_t - 1, 0)
+    extra_t = jnp.where(rl1 < 60, 0, jnp.where(rl1 < 256, 1, 2)) * (1 - ism)
+    use_c1 = (ism == 1) & (len_t <= wire.COPY1_MAX_LEN) & (off_t < wire.COPY1_MAX_OFFSET)
+    sz = jnp.where(
+        ism == 1, jnp.where(use_c1, 2, 3), 1 + extra_t + len_t
+    )
+    sz = jnp.where(ti, sz, 0)
+    incl = kl.scan2d_mm(sz, "add", bits=16)
+    comp_len = jnp.max(incl)
+    ooff = incl - sz
+
+    key = ooff + 1
+    spq_ref[...] = jnp.where(ti & (ooff < OCAP), ooff, -1)
+    sp1_ref[...] = (key << 15) | pos_t
+    sp2_ref[...] = (key << 15) | (jnp.where(ism == 1, off_t, rl1) & 0x7FFF)
+    sp3_ref[...] = (
+        (key << 15) | ism | (use_c1.astype(jnp.int32) << 1)
+        | ((len_t & 0x7F) << 2) | (extra_t << 9)
+    )
+    zero = jnp.zeros((OCR, L), jnp.int32)
+    h1_ref[...] = zero
+    h2_ref[...] = zero
+    h3_ref[...] = zero
+    ngroups = (ntags + 8 * L - 1) // (8 * L)
+
+    def scat_grp(g, _):
+        r0 = pl.multiple_of(g * 8, 8)
+        parts = kl.scatter_rows_multi(
+            spq_ref, [(sp1_ref, 31), (sp2_ref, 31), (sp3_ref, 31)], r0, OCR
+        )
+        h1_ref[...] += parts[0]
+        h2_ref[...] += parts[1]
+        h3_ref[...] += parts[2]
+        return 0
+
+    jax.lax.fori_loop(0, ngroups, scat_grp, 0)
+
+    H1 = kl.scan2d_mm(h1_ref[...], "max", bits=31)
+    H2 = kl.scan2d_mm(h2_ref[...], "max", bits=31)
+    H3 = kl.scan2d_mm(h3_ref[...], "max", bits=31)
+    o = kl.row_iota(OCR)
+    key0 = _srl(H1, 15)
+    valid = key0 >= 1
+    too = key0 - 1
+    delta = o - too
+    tpos_o = H1 & 0x7FFF
+    aux = H2 & 0x7FFF
+    f3 = H3 & 0x7FFF
+    ism_o = (f3 & 1) == 1
+    c1_o = ((f3 >> 1) & 1) == 1
+    len_o = (f3 >> 2) & 0x7F
+    ext_o = (f3 >> 9) & 3
+
+    litop = jnp.where(aux < 60, aux << 2, (59 + ext_o) << 2)
+    sh = 8 * jnp.clip(delta - 1, 0, 3)
+    trailer = _srl(aux, sh) & 0xFF
+    val_lit = jnp.where(delta == 0, litop, trailer)
+    ispay = (~ism_o) & (delta > ext_o)
+
+    c1v = jnp.where(
+        delta == 0,
+        wire.TAG_COPY_1 | ((len_o - wire.MIN_MATCH) << 2) | (_srl(aux, 8) << 5),
+        aux & 0xFF,
+    )
+    c2v = jnp.where(
+        delta == 0,
+        wire.TAG_COPY_2 | ((len_o - 1) << 2),
+        jnp.where(delta == 1, aux & 0xFF, _srl(aux, 8) & 0xFF),
+    )
+    val = jnp.where(ism_o, jnp.where(c1_o, c1v, c2v), val_lit) & 0xFF
+    live = valid & (o < comp_len)
+    vals_ref[...] = jnp.where(live, val, 0) | jnp.where(ispay & live, 1 << 8, 0)
+    lidx_ref[...] = jnp.clip(tpos_o + delta - 1 - ext_o, 0, BS - 1)
+
+    def fin_grp(g, _):
+        r0 = pl.multiple_of(g * 8, 8)
+        (pay8,) = kl.gather_rows_multi([(data, 8)], lidx_ref, r0)
+        v8 = vals_ref[pl.ds(r0, 8), :]
+        comp_ref[0, pl.ds(r0, 8), :] = jnp.where((v8 >> 8) & 1 > 0, pay8, v8 & 0xFF)
+        return 0
+
+    jax.lax.fori_loop(0, OCR // 8, fin_grp, 0)
+
+    meta_ref[b, 0] = comp_len
+    meta_ref[b, 1] = jnp.where(done_f > 0, 0, 1)   # 1 = walk bound exhausted
+    meta_ref[b, 2] = ntags
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled(B: int, BR: int):
+    BS = BR * L
+    OCR = _ocr(BS)
+    TR = _trows(BS)
+    BRP = BR + MAXW
+    BRW = BS // 4 // L
+    kern = functools.partial(_kernel, BR=BR, OCR=OCR)
+    i32 = jnp.int32
+
+    def run(data, blens):
+        # dense prep + exact most-recent-match candidates via sort (XLA)
+        flat = data.reshape(B, BS)
+        z = jnp.zeros((B, 4), i32)
+        ext = jnp.concatenate([flat, z], axis=1)
+        w = (
+            flat
+            | (ext[:, 1 : BS + 1] << 8)
+            | (ext[:, 2 : BS + 2] << 16)
+            | (ext[:, 3 : BS + 3] << 24)
+        )
+        h = _srl(w * np.int32(wire.HASH_MULTIPLIER), 16)
+        posf = jnp.arange(BS, dtype=i32)[None, :]
+        keys = (h << 15) | posf
+        sk = jnp.sort(keys, axis=1)
+        prevk = jnp.concatenate([jnp.full((B, 1), -1, i32), sk[:, :-1]], axis=1)
+        same = _srl(sk, 15) == _srl(prevk, 15)
+        spos = sk & 0x7FFF
+        scand = jnp.where(same, prevk & 0x7FFF, NOCAND)
+
+        comp, meta = pl.pallas_call(
+            kern,
+            grid=(B,),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, OCR, L), i32),
+                jax.ShapeDtypeStruct((B, 8), i32),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, BR, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BR, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BR, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BR, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, OCR, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((BR, L), i32),            # cand
+                pltpu.VMEM((BRP, L), i32),           # wst
+                pltpu.VMEM((BRW, L), i32),           # wpk
+                pltpu.VMEM((TR, L), i32),            # t1
+                pltpu.VMEM((TR, L), i32),            # t2
+                pltpu.VMEM((TR, L), i32),            # spq
+                pltpu.VMEM((TR, L), i32),            # sp1
+                pltpu.VMEM((TR, L), i32),            # sp2
+                pltpu.VMEM((TR, L), i32),            # sp3
+                pltpu.VMEM((OCR, L), i32),           # h1
+                pltpu.VMEM((OCR, L), i32),           # h2
+                pltpu.VMEM((OCR, L), i32),           # h3
+                pltpu.VMEM((OCR, L), i32),           # vals
+                pltpu.VMEM((OCR, L), i32),           # lidx
+                pltpu.VMEM((BR, L), i32),            # sps copy
+                pltpu.VMEM((BR, L), i32),            # scs copy
+                pltpu.SMEM((BRW, L), i32),           # packed words
+                pltpu.SMEM((MAXW, L), i32),          # walk-stream window
+                pltpu.SMEM((TBUF, L), i32),          # tag buffer 1
+                pltpu.SMEM((TBUF, L), i32),          # tag buffer 2
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+            interpret=prim.interpret_mode(),
+        )(blens, data.reshape(B, BR, L), w.reshape(B, BR, L),
+          spos.reshape(B, BR, L), scand.reshape(B, BR, L))
+        return comp, meta
+
+    return jax.jit(run)
+
+
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+def encode_blocks(data: np.ndarray, blens: np.ndarray):
+    """Compress B independent fragments (fused kernel).
+
+    data: uint8[B, bs] zero-padded, bs <= 32768 a multiple of 1024;
+    blens: int[B].  Returns (comp uint8[B, ocap], comp_lens int32[B]).
+    """
+    B, bs = data.shape
+    BSP = _round_up(max(bs, 1024), 1024)
+    Bp = _round_up(max(B, 1), 8)
+    arr = np.zeros((Bp, BSP), np.uint8)
+    arr[:B, :bs] = data
+    lens = np.zeros((Bp,), np.int32)
+    lens[:B] = blens
+    fn = _compiled(Bp, BSP // L)
+    comp, meta = fn(jnp.asarray(arr.astype(np.int32)), jnp.asarray(lens))
+    OCR = _ocr(BSP)
+    comp_np = np.asarray(comp).reshape(Bp, OCR * L).astype(np.uint8)
+    meta_np = np.asarray(meta)
+    if (meta_np[:B, 1] != 0).any():
+        raise RuntimeError("encoder walk exhausted its round bound")
+    return comp_np[:B], meta_np[:B, 0]
+
+
+prim.register_trace_cache(_compiled)

@@ -63,12 +63,25 @@ def stream_shift_up(x: jnp.ndarray, d: int, fill=0) -> jnp.ndarray:
     return jnp.where(row_iota(R) < R * L - d, y, fill)
 
 
+SAT = 1 << 23   # saturating-add ceiling (f32-exact, > any block capacity)
+BIGV = 1 << 20  # "+inf" for min scans (non-negative, f32/16-bit-halves safe)
+
+
 def _combine(op, a, b):
     if op == "max":
         return jnp.maximum(a, b)
+    if op == "min":
+        return jnp.minimum(a, b)
     if op == "add":
         return a + b
+    if op == "addsat":
+        # saturating add is associative for non-negative operands
+        return jnp.minimum(a + b, SAT)
     raise ValueError(op)
+
+
+def _fill_of(op):
+    return {"max": NEG, "min": BIGV, "add": 0, "addsat": 0}[op]
 
 
 def scan2d(x: jnp.ndarray, op: str = "max") -> jnp.ndarray:
@@ -225,99 +238,127 @@ def stream_shift_up_mm(x: jnp.ndarray, d: int, bits: int = 31) -> jnp.ndarray:
     return cur + nxt  # disjoint non-zero lanes
 
 
-def scan2d_mm(x: jnp.ndarray, op: str = "max", bits: int = 31) -> jnp.ndarray:
+def scan2d_mm(x: jnp.ndarray, op: str = "max", bits: int = 31, fill=None) -> jnp.ndarray:
     """Inclusive row-major scan of (R, L) int32 using MXU shifts.
 
-    op "max": requires x > NEG/2 sentinel discipline from the caller (empty
-    cells should hold a value smaller than every real one, e.g. 0 with all
-    real keys >= 1).  op "add": f32-exact for totals < 2^24.
+    All values (and `fill`) must be non-negative and < 2^bits (they ride
+    f32 permutation dots as 16-bit halves).  op "max": empty cells should
+    hold a value smaller than every real one; op "min": `fill` acts as the
+    +inf sentinel; op "add"/"addsat": f32-exact for totals < 2^24.
     """
     R = x.shape[0]
+    if fill is None:
+        fill = _fill_of(op)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     s = x
     k = 1
     while k < L:
         sh = lane_shift_down(s, k, bits)
-        if op == "max":
-            sh = jnp.where(lane >= k, sh, NEG)
+        if op in ("max", "min"):
+            sh = jnp.where(lane >= k, sh, fill)
         s = _combine(op, s, sh)
         k <<= 1
-    tot = s[:, L - 1 : L]                              # (R, 1) row totals
+    # row totals, re-laid to lane offset 0 (slicing lane 127 directly gives
+    # an offset-127 layout Mosaic cannot concat) and broadcast full-width
+    tot = jnp.broadcast_to(lane_shift_up(s, L - 1, bits)[:, 0:1], x.shape)
     t = tot
     k = 1
     while k < R:
-        tk = row_shift_down(t, k, fill=(NEG if op == "max" else 0))
-        t = _combine(op, t, tk)
+        t = _combine(op, t, row_shift_down(t, k, fill=fill))
         k <<= 1
-    excl = row_shift_down(t, 1, fill=(NEG if op == "max" else 0))
-    return _combine(op, s, jnp.broadcast_to(excl, x.shape))
+    excl = row_shift_down(t, 1, fill=fill)
+    return _combine(op, s, excl)
+
+
+def flip2d(x: jnp.ndarray, bits: int = 16) -> jnp.ndarray:
+    """Reverse the row-major flat order of (R, L) int32 (non-negative,
+    < 2^bits) via anti-diagonal permutation dots (no negative strides)."""
+    R = x.shape[0]
+    li = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    AL = (lj == L - 1 - li).astype(jnp.float32)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    rj = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    AR = (rj == R - 1 - ri).astype(jnp.float32)
+
+    def apply(h):
+        lanes = jnp.dot(h.astype(jnp.float32), AL, preferred_element_type=jnp.float32)
+        return jnp.dot(AR, lanes, preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    if bits <= 16:
+        return apply(x)
+    lo = apply(x & 0xFFFF)
+    hi = apply((x >> 16) & 0x7FFF)
+    return lo | (hi << 16)
 
 
 # --------------------------------------------------------------------------
-# Batched one-hot gather / scatter.  Per-row invocations are overhead-bound
-# (mosaic_probe r2: 492ns per 128-element gather); concatenating 8 rows of
-# one-hots along the lane axis amortizes it into one big MXU contraction.
+# Row-group one-hot gather / scatter over VMEM refs.  Rows are read one at a
+# time STRAIGHT FROM THE REF (a register-array row slice x[j:j+1] carries a
+# sublane-offset layout Mosaic cannot concat or re-lay), giving offset-0
+# (1, L) values; the 8 per-row dot chains are independent and pipeline on
+# the MXU, amortizing the ~0.5µs/row loop overhead (mosaic_probe r2).
 # --------------------------------------------------------------------------
 
 
-def _cat_lanes(rows):
-    return jnp.concatenate(rows, axis=1)
+def gather_rows_multi(tables_bits, idx_ref, r0, nrows: int = 8, pre=None):
+    """Gather several (R, L) int32 tables at the flat indices stored in rows
+    r0..r0+nrows-1 of idx_ref.  tables_bits: [(table, bits), ...], all
+    sharing R.  pre: optional fn mapping a raw (1, L) idx row to indices
+    (e.g. masking/offsetting); indices are clipped to the table afterwards.
+    Returns a list of (nrows, L) int32 results."""
+    import jax.experimental.pallas as pl  # local: avoid cycle at import time
+
+    R = tables_bits[0][0].shape[0]
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (nrows, L), 0)
+    outs = [jnp.zeros((nrows, L), jnp.int32) for _ in tables_bits]
+    for j in range(nrows):
+        raw = idx_ref[pl.ds(r0 + j, 1), :]
+        idx = jnp.clip(raw if pre is None else pre(raw), 0, R * L - 1)
+        roh = onehot_rows_t(idx, R)                    # (R, L)
+        lq = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+        lohb = (idx & (L - 1)) == lq                   # bool: bf16 cmp is unsupported
+        for a, (table, bits) in enumerate(tables_bits):
+            acc = jnp.zeros((1, L), jnp.int32)
+            for k in range((bits + 7) // 8):
+                picked = jax.lax.dot_general(
+                    limb_f(table, k), roh,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                      # (L, L)
+                val = jnp.sum(jnp.where(lohb, picked, 0.0), axis=0, keepdims=True)
+                acc = acc | (val.astype(jnp.int32) << (8 * k))
+            outs[a] = jnp.where(rowi == j, jnp.broadcast_to(acc, (nrows, L)), outs[a])
+    return outs
 
 
-def gather_flat8(table: jnp.ndarray, idx8: jnp.ndarray, bits: int) -> jnp.ndarray:
-    """y (8, L) = table[flat idx8] for table (R, L) int32 in [0, 2^bits).
+def scatter_rows_multi(pos_ref, val_refs_bits, r0, out_rows: int, nrows: int = 8):
+    """Scatter rows r0..r0+nrows-1: H[flat pos] += val for several value
+    refs at shared positions.  Positions outside [0, out_rows*L) scatter
+    nowhere (callers encode masking as an out-of-range sentinel).  Positions
+    must be unique across ALL scattered rows (sum == store).
+    val_refs_bits: [(ref, bits), ...].  Returns list of (out_rows, L)
+    partials; caller accumulates into the H refs."""
+    import jax.experimental.pallas as pl
 
-    idx8: (8, L) int32, caller-clipped to [0, R*L).  One (R, 8L) one-hot
-    contraction per limb.
-    """
-    R = table.shape[0]
-    roh = _cat_lanes([onehot_rows_t(idx8[j : j + 1, :], R) for j in range(8)])
-    loh = _cat_lanes([onehot_lanes_t(idx8[j : j + 1, :]) for j in range(8)])
-    limbs = (bits + 7) // 8
-    acc = jnp.zeros((1, 8 * L), jnp.int32)
-    for k in range(limbs):
-        picked = jax.lax.dot_general(
-            limb_f(table, k), roh,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                              # (L, 8L)
-        val = jnp.sum(jnp.where(loh > 0, picked, 0.0), axis=0, keepdims=True)
-        acc = acc | (val.astype(jnp.int32) << (8 * k))
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (8, L), 0)
-    out = jnp.zeros((8, L), jnp.int32)
-    for j in range(8):
-        out = jnp.where(rowi == j, jnp.broadcast_to(acc[:, j * L : (j + 1) * L], (8, L)), out)
-    return out
-
-
-def scatter_sum8(
-    pos8: jnp.ndarray, val8: jnp.ndarray, mask8: jnp.ndarray,
-    out_rows: int, bits: int,
-) -> jnp.ndarray:
-    """H (out_rows, L) partial: H[flat pos8[j,e]] += val8[j,e] where mask8.
-
-    pos8/val8 (8, L) int32, mask8 (8, L) bool; positions unique across all
-    tiles (sum == store).  One (out_rows, 8L)x(L, 8L)^T contraction per limb.
-    """
-    p = jnp.where(mask8, pos8, out_rows * L)
-    roh = _cat_lanes([onehot_rows_t(p[j : j + 1, :], out_rows) for j in range(8)])
-    lohs = []
-    for j in range(8):
-        lj = onehot_lanes_t(p[j : j + 1, :])
-        lohs.append(jnp.where(mask8[j : j + 1, :], lj, 0))
-    loh = _cat_lanes(lohs)
-    vcat = _cat_lanes([val8[j : j + 1, :] for j in range(8)])
-    limbs = (bits + 7) // 8
-    acc = jnp.zeros((out_rows, L), jnp.int32)
-    for k in range(limbs):
-        w = roh * ((vcat >> (8 * k)) & 0xFF).astype(jnp.bfloat16)
-        h = jax.lax.dot_general(
-            w, loh,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc = acc | (h.astype(jnp.int32) << (8 * k))
-    return acc
+    accs = [jnp.zeros((out_rows, L), jnp.int32) for _ in val_refs_bits]
+    for j in range(nrows):
+        p = pos_ref[pl.ds(r0 + j, 1), :]
+        inb = (p >= 0) & (p < out_rows * L)
+        pc = jnp.clip(p, 0, out_rows * L - 1)
+        roh = onehot_rows_t(pc, out_rows)              # (out_rows, L)
+        loh = jnp.where(inb, onehot_lanes_t(pc), 0)    # (L, L)
+        for a, (vref, bits) in enumerate(val_refs_bits):
+            v = vref[pl.ds(r0 + j, 1), :]
+            for k in range((bits + 7) // 8):
+                w = roh * ((v >> (8 * k)) & 0xFF).astype(jnp.bfloat16)
+                h = jax.lax.dot_general(
+                    w, loh,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                      # (out_rows, L)
+                accs[a] = accs[a] + (h.astype(jnp.int32) << (8 * k))
+    return accs
 
 
 def scatter_sum_tile(

@@ -117,33 +117,48 @@ def test_scan2d_mm(op, bits, rows):
 
 
 @pytest.mark.parametrize("bits", [8, 19])
-def test_gather_flat8(bits):
+def test_gather_rows_multi(bits):
     r = np.random.default_rng(5)
     tbl = r.integers(0, 1 << bits, (24, 128)).astype(np.int32)
+    tbl2 = r.integers(0, 1 << 16, (24, 128)).astype(np.int32)
     idx = r.integers(0, 24 * 128, (8, 128)).astype(np.int32)
 
-    def k(t_ref, i_ref, o_ref):
-        o_ref[...] = kl.gather_flat8(t_ref[...], i_ref[...], bits)
+    def k(t_ref, t2_ref, i_ref, o_ref, o2_ref):
+        a, b = kl.gather_rows_multi(
+            [(t_ref[...], bits), (t2_ref[...], 16)], i_ref, 0
+        )
+        o_ref[...] = a
+        o2_ref[...] = b
 
-    got = np.asarray(_run(k, (8, 128), jnp.asarray(tbl), jnp.asarray(idx)))
-    np.testing.assert_array_equal(got, tbl.reshape(-1)[idx])
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    got, got2 = pl.pallas_call(
+        k,
+        out_shape=(jax.ShapeDtypeStruct((8, 128), jnp.int32),) * 2,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+        interpret=True,
+    )(jnp.asarray(tbl), jnp.asarray(tbl2), jnp.asarray(idx))
+    np.testing.assert_array_equal(np.asarray(got), tbl.reshape(-1)[idx])
+    np.testing.assert_array_equal(np.asarray(got2), tbl2.reshape(-1)[idx])
 
 
 @pytest.mark.parametrize("bits", [16, 31])
-def test_scatter_sum8(bits):
+def test_scatter_rows_multi(bits):
     r = np.random.default_rng(6)
     pos = r.permutation(16 * 128)[: 8 * 128].astype(np.int32).reshape(8, 128)
     val = r.integers(0, 1 << bits, (8, 128)).astype(np.int32)
     mask = r.random((8, 128)) < 0.7
+    pos_m = np.where(mask, pos, -1).astype(np.int32)  # sentinel = no scatter
 
-    def k(p_ref, v_ref, m_ref, o_ref):
-        o_ref[...] = kl.scatter_sum8(
-            p_ref[...], v_ref[...], m_ref[...] > 0, 16, bits
-        )
+    def k(p_ref, v_ref, o_ref):
+        (h,) = kl.scatter_rows_multi(p_ref, [(v_ref, bits)], 0, 16)
+        o_ref[...] = h
 
     got = np.asarray(
-        _run(k, (16, 128), jnp.asarray(pos), jnp.asarray(val),
-             jnp.asarray(mask.astype(np.int32)))
+        _run(k, (16, 128), jnp.asarray(pos_m), jnp.asarray(val))
     ).reshape(-1)
     want = np.zeros(16 * 128, np.int32)
     want[pos[mask]] = val[mask]
