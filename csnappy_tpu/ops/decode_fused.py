@@ -342,6 +342,12 @@ def _kernel(
     meta_ref[b, 1] = status
     meta_ref[b, 2] = ntags
     meta_ref[b, 3] = total_out
+    # debug probes (harmless; used by bring-up diagnostics)
+    ti_dbg = kl.row_iota(TROWS)
+    meta_ref[b, 4] = jnp.max(jnp.where(ti_dbg == 1, tose, 0))
+    meta_ref[b, 5] = jnp.max(jnp.where(o == 1, H0, 0))
+    meta_ref[b, 6] = jnp.max(jnp.where(o == 0, H0, 0))
+    meta_ref[b, 7] = jnp.max(jnp.where(o == 12, H0, 0))
 
 
 @functools.lru_cache(maxsize=32)

@@ -111,8 +111,9 @@ def _kernel(
     wst_ref[BR:BRP, :] = jnp.full((MAXW, L), NOCAND | (NONEXT << 16), jnp.int32)
 
     # --------------------------------- pack LE words 4-per-int32 into SMEM
-    lo16 = w & 0xFFFF
-    hi16 = _srl(w, 16)
+    # packed[flat k] = w[4k]: row-stride-4 pick (Rq) + lane-stride-4 place
+    # (Mq), moved as 8-bit limbs (TPU dots round inputs to bf16; limbs are
+    # exact, and limb extraction/reassembly is sign-correct for full int32)
     ri = jax.lax.broadcasted_iota(jnp.int32, (BRW, BR), 0)
     rj = jax.lax.broadcasted_iota(jnp.int32, (BRW, BR), 1)
     mi = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
@@ -123,10 +124,8 @@ def _kernel(
         Mq = (
             (mj >= 32 * q) & (mj < 32 * (q + 1)) & (mi == 4 * (mj - 32 * q))
         ).astype(jnp.float32)                            # (L, L)
-        for half, shift in ((lo16, 0), (hi16, 16)):
-            rows = jnp.dot(Rq, half.astype(jnp.float32), preferred_element_type=jnp.float32)
-            sel = jnp.dot(rows, Mq, preferred_element_type=jnp.float32)
-            packed = packed | (sel.astype(jnp.int32) << shift)
+        rows = kl.perm_apply(w, Rq, 32, left=True)       # (BRW, L)
+        packed = packed | kl.perm_apply(rows, Mq, 32)
     wpk_ref[...] = packed
     cpd = pltpu.make_async_copy(wpk_ref, dpk_smem, sem)
     cpd.start()

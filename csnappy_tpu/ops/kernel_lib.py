@@ -188,19 +188,33 @@ def _shift_mat(k: int, n: int, up: bool) -> jnp.ndarray:
     return ((j == i - k) if up else (j == i + k)).astype(jnp.float32)
 
 
+def perm_apply(x: jnp.ndarray, m: jnp.ndarray, bits: int, left: bool = False) -> jnp.ndarray:
+    """x @ m (or m @ x when left=True) for a 0/1 permutation-ish matrix m and
+    non-negative int32 x < 2^bits, exactly.
+
+    TPU matmuls round their inputs to bf16 regardless of preferred_element_
+    type (only the accumulator is f32), so full 16-bit values through a dot
+    silently lose low bits on hardware — interpret mode hides this.  Data
+    therefore rides as 8-bit limbs (bf16-exact), like the one-hot gathers.
+    """
+    mb = m.astype(jnp.bfloat16)
+    acc = None
+    for k in range((bits + 7) // 8):
+        limb = limb_f(x, k)
+        y = (
+            jnp.dot(mb, limb, preferred_element_type=jnp.float32)
+            if left
+            else jnp.dot(limb, mb, preferred_element_type=jnp.float32)
+        ).astype(jnp.int32) << (8 * k)
+        acc = y if acc is None else acc | y
+    return acc
+
+
 def _mm_shift(x: jnp.ndarray, k: int, up: bool, bits: int) -> jnp.ndarray:
     """Zero-fill lane shift of (R, L) int32 by static k via permutation dot."""
     if k == 0:
         return x
-    m = _shift_mat(k % L, L, up)
-    if bits <= 16:
-        y = jnp.dot(x.astype(jnp.float32), m, preferred_element_type=jnp.float32)
-        return y.astype(jnp.int32)
-    lo = (x & 0xFFFF).astype(jnp.float32)
-    hi = ((x >> 16) & 0x7FFF).astype(jnp.float32)
-    ylo = jnp.dot(lo, m, preferred_element_type=jnp.float32).astype(jnp.int32)
-    yhi = jnp.dot(hi, m, preferred_element_type=jnp.float32).astype(jnp.int32)
-    return ylo | (yhi << 16)
+    return perm_apply(x, _shift_mat(k % L, L, up), bits)
 
 
 def lane_shift_down(x: jnp.ndarray, k: int, bits: int = 31) -> jnp.ndarray:
@@ -280,16 +294,7 @@ def flip2d(x: jnp.ndarray, bits: int = 16) -> jnp.ndarray:
     ri = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
     rj = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
     AR = (rj == R - 1 - ri).astype(jnp.float32)
-
-    def apply(h):
-        lanes = jnp.dot(h.astype(jnp.float32), AL, preferred_element_type=jnp.float32)
-        return jnp.dot(AR, lanes, preferred_element_type=jnp.float32).astype(jnp.int32)
-
-    if bits <= 16:
-        return apply(x)
-    lo = apply(x & 0xFFFF)
-    hi = apply((x >> 16) & 0x7FFF)
-    return lo | (hi << 16)
+    return perm_apply(perm_apply(x, AL, bits), AR, bits, left=True)
 
 
 # --------------------------------------------------------------------------

@@ -101,7 +101,7 @@ def test_stream_shift_up_mm(d):
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("op,bits", [("max", 31), ("add", 16)])
+@pytest.mark.parametrize("op,bits", [("max", 31), ("add", 24)])
 @pytest.mark.parametrize("rows", [8, 24])
 def test_scan2d_mm(op, bits, rows):
     r = np.random.default_rng(4)
