@@ -499,4 +499,24 @@ def encode_blocks(data: np.ndarray, blens: np.ndarray):
     return comp_np[:B], meta_np[:B, 0]
 
 
+def compress_np(data: bytes | np.ndarray) -> bytes:
+    """Whole-stream compress: varint preamble + independent 32 KiB fragments
+    (csnappy_compress.c:621-656 semantics), batched on device."""
+    buf = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) else data
+    n = len(buf)
+    out = bytearray(wire.varint_encode(n))
+    if n == 0:
+        return bytes(out)
+    BS = wire.BLOCK_SIZE
+    nb = (n + BS - 1) // BS
+    padded = np.zeros((nb, BS), np.uint8)
+    padded.reshape(-1)[:n] = buf
+    blens = np.full((nb,), BS, np.int32)
+    blens[-1] = n - (nb - 1) * BS
+    comp, lens = encode_blocks(padded, blens)
+    for i in range(nb):
+        out += comp[i, : lens[i]].tobytes()
+    return bytes(out)
+
+
 prim.register_trace_cache(_compiled)

@@ -60,15 +60,15 @@ class BlockStats:
 
 
 def _snappy_compress_pages(pages: np.ndarray, lens: np.ndarray):
-    from ..ops import encode_jnp
+    from ..ops import encode_fused
 
-    return encode_jnp.encode_blocks(pages, lens)
+    return encode_fused.encode_blocks(pages, lens)
 
 
 def _snappy_decompress_pages(comp: np.ndarray, lens: np.ndarray, page_size: int):
-    from ..ops import decode_block
+    from ..ops import decode_fused
 
-    return decode_block.decode_blocks(comp, lens, page_size)
+    return decode_fused.decode_blocks(comp, lens, page_size)
 
 
 def compress_blocks(data: bytes, page_size: int = 4096, codec: str = "snappy") -> tuple[bytes, BlockStats]:
