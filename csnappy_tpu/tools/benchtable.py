@@ -1,11 +1,18 @@
 """Benchmark-table generator — userspace_benchmark.txt parity (C14/C17).
 
-Reproduces the reference's published table format (file, in→out bytes,
-ratio, compress MB/s, decompress MB/s) for any set of input files, per
-backend.  The reference produced its table with Google snappy's patched
-snappy_unittest (snappy_tester.patch); here the harness is built in.
+Reproduces the reference's published table format (file, in->out bytes,
+ratio, compress MB/s, decompress MB/s) per backend.  The reference produced
+its table with Google snappy's patched snappy_unittest
+(snappy_tester.patch:44-117); here the harness is built in.
 
-Usage:  python -m csnappy_tpu.tools.benchtable [-b jax|py|native] FILES...
+The jax backend measures the *serving path* — batched 32 KiB blocks through
+the fused device kernels — with slope timing (tools/timing.py; naive
+per-call timing lies on this pod, ARCHITECTURE.md).  py/native backends are
+host code and use best-of-N wall timing.
+
+Usage:
+  python -m csnappy_tpu.tools.benchtable [-b jax|py|native] FILES...
+  python -m csnappy_tpu.tools.benchtable --corpus        # generated corpus
 """
 from __future__ import annotations
 
@@ -13,26 +20,11 @@ import argparse
 import sys
 import time
 
+import numpy as np
+
 from .. import api
 
-
-def measure(data: bytes, backend: str, reps: int = 3) -> dict:
-    comp = api.compress(data, backend=backend)
-    t_c = min(
-        _timed(lambda: api.compress(data, backend=backend)) for _ in range(reps)
-    )
-    out = api.decompress(comp, backend=backend)
-    assert out == data, "roundtrip mismatch"
-    t_d = min(
-        _timed(lambda: api.decompress(comp, backend=backend)) for _ in range(reps)
-    )
-    return dict(
-        n_in=len(data),
-        n_out=len(comp),
-        ratio=100.0 * len(comp) / max(len(data), 1),
-        c_mbps=len(data) / t_c / 1e6,
-        d_mbps=len(data) / t_d / 1e6,
-    )
+BS = 32768
 
 
 def _timed(fn) -> float:
@@ -41,21 +33,105 @@ def _timed(fn) -> float:
     return max(time.perf_counter() - t0, 1e-9)
 
 
+def _measure_host(data: bytes, backend: str, reps: int = 3) -> dict:
+    comp = api.compress(data, backend=backend)
+    t_c = min(_timed(lambda: api.compress(data, backend=backend)) for _ in range(reps))
+    out = api.decompress(comp, backend=backend)
+    assert out == data, "roundtrip mismatch"
+    t_d = min(_timed(lambda: api.decompress(comp, backend=backend)) for _ in range(reps))
+    return dict(n_in=len(data), n_out=len(comp), t_c=t_c, t_d=t_d)
+
+
+def _measure_jax(data: bytes) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import pymodel, wire
+    from ..ops import decode_fused, encode_fused
+    from .timing import slope_time
+
+    n = len(data)
+    nb = max(1, (n + BS - 1) // BS)
+    pages = np.zeros((nb, BS), np.uint8)
+    pages.reshape(-1)[:n] = np.frombuffer(data, np.uint8)
+    blens = np.full((nb,), BS, np.int32)
+    blens[-1] = n - (nb - 1) * BS if n else 0
+
+    comp, clens = encode_fused.encode_blocks(pages, blens)
+    n_out = int(clens.sum()) + len(wire.varint_encode(n))
+
+    Bp = decode_fused._round_up(nb, 8)
+    P = decode_fused._round_up(int(clens.max()), 1024)
+    arr = np.zeros((Bp, P), np.uint8)
+    for i in range(nb):
+        arr[i, : clens[i]] = comp[i, : clens[i]]
+    lens = np.zeros((Bp,), np.int32)
+    lens[:nb] = clens
+    out, produced, status = decode_fused.decode_blocks(arr[:nb], lens[:nb], BS)
+    assert (status == 0).all()
+    got = b"".join(out[i, : produced[i]].tobytes() for i in range(nb))
+    assert got == data, "roundtrip mismatch"
+
+    dfn = decode_fused._compiled(Bp, P // 128, BS // 128)
+    comp_dev = jax.device_put(jnp.asarray(arr.astype(np.int32)).reshape(Bp, P // 128, 128))
+    lens_dev = jax.device_put(jnp.asarray(lens))
+    cap_dev = jax.device_put(jnp.full((Bp,), BS, np.int32))
+
+    def dec_step(k):
+        o, m = dfn(lens_dev, cap_dev, comp_dev + k * 0)
+        return m[:, 0].sum() + o[0, 0, 0]
+
+    t_d = slope_time(dec_step)
+
+    Bpe = encode_fused._round_up(nb, 8)
+    efn = encode_fused._compiled(Bpe, BS // 128)
+    pe = np.zeros((Bpe, BS), np.uint8)
+    pe[:nb] = pages
+    le = np.zeros((Bpe,), np.int32)
+    le[:nb] = blens
+    pages_dev = jax.device_put(jnp.asarray(pe.astype(np.int32)))
+    blens_dev = jax.device_put(jnp.asarray(le))
+
+    def enc_step(k):
+        c, m = efn(pages_dev + k * 0, blens_dev)
+        return m[:, 0].sum() + c[0, 0, 0]
+
+    t_c = slope_time(enc_step, k_lo=1, k_hi=3)
+    return dict(n_in=n, n_out=n_out, t_c=t_c, t_d=t_d)
+
+
+def measure(data: bytes, backend: str) -> dict:
+    m = _measure_jax(data) if backend == "jax" else _measure_host(data, backend)
+    m["ratio"] = 100.0 * m["n_out"] / max(m["n_in"], 1)
+    m["c_mbps"] = m["n_in"] / m["t_c"] / 1e6
+    m["d_mbps"] = m["n_in"] / m["t_d"] / 1e6
+    return m
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("-b", "--backend", default="native", choices=["jax", "py", "native"])
-    ap.add_argument("files", nargs="+")
+    ap.add_argument("-b", "--backend", default="jax", choices=["jax", "py", "native"])
+    ap.add_argument("--corpus", action="store_true", help="run the generated corpus")
+    ap.add_argument("files", nargs="*")
     args = ap.parse_args(argv)
-    print(f"backend={args.backend}")
-    print(f"{'file':<28} {'in->out bytes':>20} {'ratio':>7} {'comp':>10} {'decomp':>10}")
+    items: list[tuple[str, bytes]] = []
+    if args.corpus:
+        from .corpus import corpus
+
+        items += sorted(corpus().items())
     for path in args.files:
         with open(path, "rb") as f:
-            data = f.read()
+            items.append((path.rsplit("/", 1)[-1], f.read()))
+    if not items:
+        ap.error("no files (pass paths or --corpus)")
+    print(f"backend={args.backend}")
+    print(f"{'file':<14} {'in->out bytes':>21} {'ratio':>7} {'comp':>12} {'decomp':>12}")
+    for name, data in items:
         m = measure(data, args.backend)
-        name = path.rsplit("/", 1)[-1]
         print(
-            f"{name:<28} {m['n_in']:>9} -> {m['n_out']:>8} {m['ratio']:>6.1f}% "
-            f"{m['c_mbps']:>7.1f}MB/s {m['d_mbps']:>7.1f}MB/s"
+            f"{name:<14} {m['n_in']:>9} -> {m['n_out']:>8} {m['ratio']:>6.1f}% "
+            f"{m['c_mbps']:>9.1f}MB/s {m['d_mbps']:>9.1f}MB/s",
+            flush=True,
         )
     return 0
 

@@ -1,0 +1,40 @@
+"""Honest device timing on this pod (ARCHITECTURE.md).
+
+The axon relay acks dispatches before execution and can short-circuit
+repeated identical calls, so naive per-call timers lie.  Every device
+number comes from K-iteration fori_loops inside one jit with
+loop-dependent inputs and a forced scalar readback; cost per op is the
+slope between two K values.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def slope_time(make_step, k_lo=2, k_hi=8, reps=2) -> float:
+    """Wall seconds per step: K-loop slope with forced scalar readback.
+
+    make_step(k) must return an int32 scalar that depends on the step's
+    real computation and on k (so XLA cannot hoist or fuse calls away).
+    """
+
+    @jax.jit
+    def run(K, seed):
+        def body(k, acc):
+            return acc + make_step(k + seed)
+
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+
+    int(run(1, 0))  # compile
+    ts = {}
+    for K in (k_lo, k_hi):
+        best = 1e9
+        for r in range(reps):
+            t0 = time.perf_counter()
+            int(run(K, r * 13))
+            best = min(best, time.perf_counter() - t0)
+        ts[K] = best
+    return max((ts[k_hi] - ts[k_lo]) / (k_hi - k_lo), 1e-9)

@@ -20,3 +20,27 @@ def test_zramsim_roundtrip(tmp_path, urls10k):
     assert r["nr_files"] == 2
     assert r["orig_data_size"] == 120000
     assert 0 < r["compr_data_size"] < r["orig_data_size"]
+
+
+def test_corpus_deterministic_and_diverse():
+    from csnappy_tpu.tools.corpus import corpus
+
+    c1 = corpus()
+    c2 = corpus()
+    assert set(c1) == set(c2) and all(c1[k] == c2[k] for k in c1)
+    assert len(c1) >= 8
+    import zlib
+
+    ratios = {k: len(zlib.compress(v[:65536], 1)) / min(len(v), 65536) for k, v in c1.items()}
+    assert min(ratios.values()) < 0.35      # highly compressible member
+    assert max(ratios.values()) > 0.95      # incompressible member
+
+
+def test_benchtable_py_backend(tmp_path, capsys):
+    from csnappy_tpu.tools import benchtable
+
+    p = tmp_path / "x"
+    p.write_bytes(b"hello world " * 400)
+    assert benchtable.main(["-b", "py", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "MB/s" in out and "ratio" in out
