@@ -103,3 +103,38 @@ def test_opcode_table_shape():
     assert (t[1::4, 1] == 1).all()  # every copy1 has 1 trailer byte
     assert (t[2::4, 1] == 2).all()
     assert (t[3::4, 1] == 4).all()
+
+
+class TestStreamingDecode:
+    """Bounded-window streaming decode (OutputBuffer.py analog)."""
+
+    def test_urls_with_window_memory(self, urls10k, urls10k_snappy):
+        from csnappy_tpu.models import wire
+
+        ulen, hdr = wire.varint_decode(urls10k_snappy)
+        chunks = []
+        n = pymodel.decompress_stream(
+            urls10k_snappy[hdr:], chunks.append, ulen, window=32768
+        )
+        assert n == ulen
+        assert b"".join(chunks) == urls10k
+
+    def test_overlap_and_small_window(self):
+        data = b"ab" * 1000 + b"xyz" * 500
+        comp = pymodel.compress_fragment(data)
+        chunks = []
+        n = pymodel.decompress_stream(comp, chunks.append, len(data), window=4096)
+        assert b"".join(chunks) == data
+
+    def test_offset_beyond_window_rejected(self):
+        from csnappy_tpu import errors
+        from csnappy_tpu.models import wire
+
+        data = bytes(range(256)) * 40  # has far matches past 8K
+        comp = pymodel.compress_fragment(b"Q" * 9000 + data[:200] + b"Q" * 9000)
+        # a window smaller than the largest offset must be detected, not
+        # silently corrupt
+        try:
+            pymodel.decompress_stream(comp, lambda c: None, 1 << 20, window=256)
+        except errors.SnappyError as e:
+            assert e.code == errors.E_DATA_MALFORMED
