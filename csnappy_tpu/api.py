@@ -26,9 +26,14 @@ from .errors import (
     SnappyError,
     raise_for_code,
 )
+from .config import DEFAULT, CodecConfig
 from .models import pymodel, wire
 
 DEFAULT_BACKEND = "jax"
+
+
+def _cfg(config):
+    return config if config is not None else DEFAULT
 
 
 def max_compressed_length(source_len: int) -> int:
@@ -44,11 +49,14 @@ def get_uncompressed_length(src: bytes) -> tuple[int, int]:
         raise SnappyError(E_HEADER_BAD, str(e)) from None
 
 
-def compress_fragment(data: bytes, backend: str = DEFAULT_BACKEND) -> bytes:
+def compress_fragment(data: bytes, backend: str | None = None,
+                      config: CodecConfig | None = None) -> bytes:
     """Headerless compression of one fragment ≤ 32 KiB (csnappy.h:46-52).
 
     The caller-supplied workmem of the C API is internal here (device scratch
     / hash state lives in the kernel)."""
+    cfg = _cfg(config)
+    backend = backend or cfg.backend
     if len(data) > wire.BLOCK_SIZE:
         raise ValueError("fragment larger than 32 KiB")
     if backend == "py":
@@ -62,12 +70,21 @@ def compress_fragment(data: bytes, backend: str = DEFAULT_BACKEND) -> bytes:
     bs = max(1024, (len(data) + 1023) // 1024 * 1024)
     buf = np.zeros((1, bs), np.uint8)
     buf[0, : len(data)] = np.frombuffer(data, np.uint8)
-    comp, lens = encode_fused.encode_blocks(buf, np.array([len(data)], np.int32))
-    return comp[0, : lens[0]].tobytes()
+    comp, lens = encode_fused.encode_blocks(
+        buf, np.array([len(data)], np.int32), cfg.hash_bits
+    )
+    frag = comp[0, : lens[0]].tobytes()
+    if cfg.debug_checks:
+        assert pymodel.decompress_noheader(frag, len(data)) == data, "oracle mismatch"
+    return frag
 
 
-def compress(data: bytes, backend: str = DEFAULT_BACKEND) -> bytes:
-    """Whole-stream compression: varint preamble + 32 KiB fragments."""
+def compress(data: bytes, backend: str | None = None,
+             config: CodecConfig | None = None) -> bytes:
+    """Whole-stream compression: varint preamble + config.block_size
+    fragments (csnappy_compress.c:621-656)."""
+    cfg = _cfg(config)
+    backend = backend or cfg.backend
     if backend == "py":
         return pymodel.compress(data)
     if backend == "native":
@@ -76,11 +93,17 @@ def compress(data: bytes, backend: str = DEFAULT_BACKEND) -> bytes:
         return native.compress(data)
     from .ops import encode_fused
 
-    return encode_fused.compress_np(data)
+    out = encode_fused.compress_np(data, cfg.block_size, cfg.hash_bits)
+    if cfg.debug_checks:
+        assert pymodel.decompress(out) == bytes(data), "oracle mismatch"
+    return out
 
 
-def decompress_noheader(src: bytes, dst_len: int, backend: str = DEFAULT_BACKEND) -> bytes:
+def decompress_noheader(src: bytes, dst_len: int, backend: str | None = None,
+                        config: CodecConfig | None = None) -> bytes:
     """Safe headerless decode into at most ``dst_len`` bytes (csnappy.h:107-119)."""
+    cfg = _cfg(config)
+    backend = backend or cfg.backend
     if backend == "py":
         return pymodel.decompress_noheader(src, dst_len)
     if backend == "native":
@@ -97,7 +120,10 @@ def decompress_noheader(src: bytes, dst_len: int, backend: str = DEFAULT_BACKEND
             arr, np.array([len(src)], np.int32), max(dst_len, 1)
         )
         raise_for_code(int(status[0]))
-        return out[0, : produced[0]].tobytes()
+        res = out[0, : produced[0]].tobytes()
+        if cfg.debug_checks:
+            assert pymodel.decompress_noheader(src, dst_len) == res, "oracle mismatch"
+        return res
     from .ops import decode_jnp
 
     out, produced, status = decode_jnp.decompress_noheader_np(
@@ -107,7 +133,8 @@ def decompress_noheader(src: bytes, dst_len: int, backend: str = DEFAULT_BACKEND
     return out.tobytes()
 
 
-def decompress(src: bytes, dst_len: int | None = None, backend: str = DEFAULT_BACKEND) -> bytes:
+def decompress(src: bytes, dst_len: int | None = None, backend: str | None = None,
+               config: CodecConfig | None = None) -> bytes:
     """Whole-stream decode with header parse + DoS length guard
     (csnappy_decompress.c:394-411)."""
     ulen, hdr = get_uncompressed_length(src)
@@ -122,7 +149,7 @@ def decompress(src: bytes, dst_len: int | None = None, backend: str = DEFAULT_BA
         dst_len = ulen
     if ulen > dst_len:
         raise SnappyError(E_OUTPUT_INSUF, f"header says {ulen}, buffer {dst_len}")
-    out = decompress_noheader(src[hdr:], ulen, backend=backend)
+    out = decompress_noheader(src[hdr:], ulen, backend=backend, config=config)
     if len(out) != ulen:
         raise SnappyError(E_DATA_MALFORMED, f"produced {len(out)}, header said {ulen}")
     return out

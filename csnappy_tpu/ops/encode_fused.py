@@ -391,7 +391,7 @@ def _kernel(
 
 
 @functools.lru_cache(maxsize=16)
-def _compiled(B: int, BR: int):
+def _compiled(B: int, BR: int, hash_bits: int = 16):
     BS = BR * L
     OCR = _ocr(BS)
     TR = _trows(BS)
@@ -411,7 +411,7 @@ def _compiled(B: int, BR: int):
             | (ext[:, 2 : BS + 2] << 16)
             | (ext[:, 3 : BS + 3] << 24)
         )
-        h = _srl(w * np.int32(wire.HASH_MULTIPLIER), 16)
+        h = _srl(w * np.int32(wire.HASH_MULTIPLIER), 32 - hash_bits)
         posf = jnp.arange(BS, dtype=i32)[None, :]
         keys = (h << 15) | posf
         sk = jnp.sort(keys, axis=1)
@@ -476,7 +476,7 @@ def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
-def encode_blocks(data: np.ndarray, blens: np.ndarray):
+def encode_blocks(data: np.ndarray, blens: np.ndarray, hash_bits: int = 16):
     """Compress B independent fragments (fused kernel).
 
     data: uint8[B, bs] zero-padded, bs <= 32768 a multiple of 1024;
@@ -489,7 +489,7 @@ def encode_blocks(data: np.ndarray, blens: np.ndarray):
     arr[:B, :bs] = data
     lens = np.zeros((Bp,), np.int32)
     lens[:B] = blens
-    fn = _compiled(Bp, BSP // L)
+    fn = _compiled(Bp, BSP // L, hash_bits)
     comp, meta = fn(jnp.asarray(arr.astype(np.int32)), jnp.asarray(lens))
     OCR = _ocr(BSP)
     comp_np = np.asarray(comp).reshape(Bp, OCR * L).astype(np.uint8)
@@ -499,7 +499,8 @@ def encode_blocks(data: np.ndarray, blens: np.ndarray):
     return comp_np[:B], meta_np[:B, 0]
 
 
-def compress_np(data: bytes | np.ndarray) -> bytes:
+def compress_np(data: bytes | np.ndarray, block_size: int = wire.BLOCK_SIZE,
+                hash_bits: int = 16) -> bytes:
     """Whole-stream compress: varint preamble + independent 32 KiB fragments
     (csnappy_compress.c:621-656 semantics), batched on device."""
     buf = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) else data
@@ -507,13 +508,13 @@ def compress_np(data: bytes | np.ndarray) -> bytes:
     out = bytearray(wire.varint_encode(n))
     if n == 0:
         return bytes(out)
-    BS = wire.BLOCK_SIZE
+    BS = block_size
     nb = (n + BS - 1) // BS
     padded = np.zeros((nb, BS), np.uint8)
     padded.reshape(-1)[:n] = buf
     blens = np.full((nb,), BS, np.int32)
     blens[-1] = n - (nb - 1) * BS
-    comp, lens = encode_blocks(padded, blens)
+    comp, lens = encode_blocks(padded, blens, hash_bits)
     for i in range(nb):
         out += comp[i, : lens[i]].tobytes()
     return bytes(out)

@@ -306,34 +306,64 @@ def flip2d(x: jnp.ndarray, bits: int = 16) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 
 
+def _widen_rows(ref, r0, nrows, rows_out, pre=None):
+    """(rows_out, nrows*L) int32 with [r, j*L+e] = ref[r0+j, e] — ref rows
+    broadcast over sublanes then lane-concatenated.  Ref reads give
+    offset-(0,0) values, so the concat pieces share one layout (slicing a
+    register array instead yields sublane offsets Mosaic cannot concat)."""
+    import jax.experimental.pallas as pl
+
+    pieces = []
+    for j in range(nrows):
+        raw = ref[pl.ds(r0 + j, 1), :]
+        if pre is not None:
+            raw = pre(raw)
+        pieces.append(jnp.broadcast_to(raw, (rows_out, L)))
+    return jnp.concatenate(pieces, axis=1)
+
+
 def gather_rows_multi(tables_bits, idx_ref, r0, nrows: int = 8, pre=None):
     """Gather several (R, L) int32 tables at the flat indices stored in rows
     r0..r0+nrows-1 of idx_ref.  tables_bits: [(table, bits), ...], all
     sharing R.  pre: optional fn mapping a raw (1, L) idx row to indices
     (e.g. masking/offsetting); indices are clipped to the table afterwards.
-    Returns a list of (nrows, L) int32 results."""
-    import jax.experimental.pallas as pl  # local: avoid cycle at import time
+    Returns a list of (nrows, L) int32 results.
 
+    One (R, nrows*L)-wide one-hot contraction per limb: 8 narrow dots per
+    group are MXU-fill-latency-bound (~0.5µs/row measured); the wide form
+    amortizes the pipeline fill across nrows*L gathered elements.
+    """
     R = tables_bits[0][0].shape[0]
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (nrows, L), 0)
-    outs = [jnp.zeros((nrows, L), jnp.int32) for _ in tables_bits]
-    for j in range(nrows):
-        raw = idx_ref[pl.ds(r0 + j, 1), :]
-        idx = jnp.clip(raw if pre is None else pre(raw), 0, R * L - 1)
-        roh = onehot_rows_t(idx, R)                    # (R, L)
-        lq = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
-        lohb = (idx & (L - 1)) == lq                   # bool: bf16 cmp is unsupported
-        for a, (table, bits) in enumerate(tables_bits):
-            acc = jnp.zeros((1, L), jnp.int32)
-            for k in range((bits + 7) // 8):
-                picked = jax.lax.dot_general(
-                    limb_f(table, k), roh,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                      # (L, L)
-                val = jnp.sum(jnp.where(lohb, picked, 0.0), axis=0, keepdims=True)
-                acc = acc | (val.astype(jnp.int32) << (8 * k))
-            outs[a] = jnp.where(rowi == j, jnp.broadcast_to(acc, (nrows, L)), outs[a])
+    E = nrows * L
+    idxb = jnp.clip(_widen_rows(idx_ref, r0, nrows, R, pre), 0, R * L - 1)  # (R, E)
+    q = jax.lax.broadcasted_iota(jnp.int32, (R, E), 0)
+    rohb = ((idxb >> 7) == q).astype(jnp.bfloat16)
+    idxL = jnp.clip(_widen_rows(idx_ref, r0, nrows, L, pre), 0, R * L - 1)  # (L, E)
+    lq = jax.lax.broadcasted_iota(jnp.int32, (L, E), 0)
+    lohb = (idxL & (L - 1)) == lq                       # bool mask
+    # assembly operands: select element block j into output row j
+    mrow = jax.lax.broadcasted_iota(jnp.int32, (nrows, E), 0)
+    mblk = jax.lax.broadcasted_iota(jnp.int32, (nrows, E), 1) >> 7
+    amask = mrow == mblk
+    bi = jax.lax.broadcasted_iota(jnp.int32, (E, L), 0)
+    bj = jax.lax.broadcasted_iota(jnp.int32, (E, L), 1)
+    bmat = ((bi & (L - 1)) == bj).astype(jnp.bfloat16)  # (E, L)
+    outs = []
+    for table, bits in tables_bits:
+        acc = jnp.zeros((nrows, L), jnp.int32)
+        for k in range((bits + 7) // 8):
+            picked = jax.lax.dot_general(
+                limb_f(table, k), rohb,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                           # (L, E)
+            val = jnp.sum(jnp.where(lohb, picked, 0.0), axis=0, keepdims=True)
+            vb = jnp.where(amask, jnp.broadcast_to(val, (nrows, E)), 0.0)
+            lim = jnp.dot(
+                vb.astype(jnp.bfloat16), bmat, preferred_element_type=jnp.float32
+            )                                           # (nrows, L), one hit each
+            acc = acc | (lim.astype(jnp.int32) << (8 * k))
+        outs.append(acc)
     return outs
 
 
@@ -343,26 +373,39 @@ def scatter_rows_multi(pos_ref, val_refs_bits, r0, out_rows: int, nrows: int = 8
     nowhere (callers encode masking as an out-of-range sentinel).  Positions
     must be unique across ALL scattered rows (sum == store).
     val_refs_bits: [(ref, bits), ...].  Returns list of (out_rows, L)
-    partials; caller accumulates into the H refs."""
+    partials; caller accumulates into the H refs.  Wide-E form (see
+    gather_rows_multi)."""
     import jax.experimental.pallas as pl
 
-    accs = [jnp.zeros((out_rows, L), jnp.int32) for _ in val_refs_bits]
-    for j in range(nrows):
-        p = pos_ref[pl.ds(r0 + j, 1), :]
-        inb = (p >= 0) & (p < out_rows * L)
-        pc = jnp.clip(p, 0, out_rows * L - 1)
-        roh = onehot_rows_t(pc, out_rows)              # (out_rows, L)
-        loh = jnp.where(inb, onehot_lanes_t(pc), 0)    # (L, L)
-        for a, (vref, bits) in enumerate(val_refs_bits):
-            v = vref[pl.ds(r0 + j, 1), :]
-            for k in range((bits + 7) // 8):
-                w = roh * ((v >> (8 * k)) & 0xFF).astype(jnp.bfloat16)
-                h = jax.lax.dot_general(
-                    w, loh,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                      # (out_rows, L)
-                accs[a] = accs[a] + (h.astype(jnp.int32) << (8 * k))
+    E = nrows * L
+    posb = _widen_rows(pos_ref, r0, nrows, out_rows)    # (out_rows, E)
+    inb = (posb >= 0) & (posb < out_rows * L)
+    pc = jnp.clip(posb, 0, out_rows * L - 1)
+    q = jax.lax.broadcasted_iota(jnp.int32, (out_rows, E), 0)
+    rohb = ((pc >> 7) == q).astype(jnp.bfloat16)
+    posL = _widen_rows(pos_ref, r0, nrows, L)           # (L, E)
+    inbL = (posL >= 0) & (posL < out_rows * L)
+    pL = jnp.clip(posL, 0, out_rows * L - 1)
+    lq = jax.lax.broadcasted_iota(jnp.int32, (L, E), 0)
+    lohb = jnp.where(
+        inbL, ((pL & (L - 1)) == lq).astype(jnp.bfloat16), 0
+    )                                                   # (L, E)
+    vcats = []
+    for vref, _bits in val_refs_bits:
+        rows = [vref[pl.ds(r0 + j, 1), :] for j in range(nrows)]
+        vcats.append(jnp.concatenate(rows, axis=1))     # (1, E)
+    accs = []
+    for (vref, bits), vcat in zip(val_refs_bits, vcats):
+        acc = jnp.zeros((out_rows, L), jnp.int32)
+        for k in range((bits + 7) // 8):
+            w = rohb * ((vcat >> (8 * k)) & 0xFF).astype(jnp.bfloat16)
+            h = jax.lax.dot_general(
+                w, lohb,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                           # (out_rows, L)
+            acc = acc + (h.astype(jnp.int32) << (8 * k))
+        accs.append(acc)
     return accs
 
 
