@@ -38,3 +38,16 @@ def slope_time(make_step, k_lo=2, k_hi=8, reps=2) -> float:
             best = min(best, time.perf_counter() - t0)
         ts[K] = best
     return max((ts[k_hi] - ts[k_lo]) / (k_hi - k_lo), 1e-9)
+
+
+def pad_perturb(arr, last_row: int):
+    """Return fn(k) -> arr with byte k&63 added at a padding location, so a
+    K-loop's kernel inputs genuinely depend on the loop index (XLA hoists
+    loop-invariant calls wholesale — `x + k*0` does NOT defeat it) while the
+    decoded stream stays valid (padding bytes are never consumed)."""
+    import jax.numpy as jnp
+
+    def f(k):
+        return arr.at[..., last_row, 127].add(k & 63)
+
+    return f
