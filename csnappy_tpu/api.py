@@ -110,6 +110,8 @@ def decompress_noheader(src: bytes, dst_len: int, backend: str | None = None,
         from .runtime import native
 
         return native.decompress_noheader(src, dst_len)
+    from .errors import E_DATA_MALFORMED as _EDM
+
     if dst_len <= wire.BLOCK_SIZE:
         # single-fragment streams ride the fused block decoder (VERDICT r1
         # weak #2: the public decode path must use the fast kernel)
@@ -119,18 +121,32 @@ def decompress_noheader(src: bytes, dst_len: int, backend: str | None = None,
         out, produced, status = decode_fused.decode_blocks(
             arr, np.array([len(src)], np.int32), max(dst_len, 1)
         )
-        raise_for_code(int(status[0]))
-        res = out[0, : produced[0]].tobytes()
-        if cfg.debug_checks:
-            assert pymodel.decompress_noheader(src, dst_len) == res, "oracle mismatch"
-        return res
-    from .ops import decode_jnp
+        st, res = int(status[0]), out[0, : produced[0]].tobytes()
+    elif dst_len <= (1 << 23):
+        # whole-stream serving path: segmented fused decode, one pallas_call
+        from .ops import decode_stream
 
-    out, produced, status = decode_jnp.decompress_noheader_np(
-        np.frombuffer(src, np.uint8), dst_len
-    )
-    raise_for_code(int(status))
-    return out.tobytes()
+        out, produced, status = decode_stream.decompress_noheader_np(
+            np.frombuffer(src, np.uint8), dst_len
+        )
+        st, res = int(status), out[:produced].tobytes()
+    else:
+        st = _EDM
+        res = b""
+    if st == _EDM:
+        # the fast path rejects exotic-but-legal streams (offsets > 32767,
+        # >64KB single-tag advances) — re-decide on the general decoder so a
+        # legal stream never fails and a malformed one reports faithfully
+        from .ops import decode_jnp
+
+        out, produced, status = decode_jnp.decompress_noheader_np(
+            np.frombuffer(src, np.uint8), dst_len
+        )
+        st, res = int(status), out.tobytes()
+    raise_for_code(st)
+    if cfg.debug_checks:
+        assert pymodel.decompress_noheader(src, dst_len) == res, "oracle mismatch"
+    return res
 
 
 def decompress(src: bytes, dst_len: int | None = None, backend: str | None = None,

@@ -49,8 +49,7 @@ MAXW = 32         # SMEM walk window rows (4 KiB of stream per refill)
 TBUF = 16         # SMEM tag buffer rows (2048 tags per flush)
 INNER = 512       # walk steps per outer round
 BIG = 1 << 24     # "never" event position
-LOCAL_MAX = 8     # in-row doubling rounds cap (2^7 >= 128)
-GLOBAL_MAX = 10   # cross-row doubling rounds cap (2^9 >= 512 rows)
+GLOBAL_MAX = 17   # pointer-doubling rounds cap (2^16 >= any chain)
 
 
 def _troWS(P: int) -> int:
@@ -166,7 +165,7 @@ def _kernel(
             at_end = p == slen
             iw = p - wb2 * L
             inwin = (iw >= 0) & (iw < MAXW * L)
-            proceed = active & ~at_end & inwin & (t < TMAX)
+            proceed = active & ~at_end & inwin
             iwc = jnp.clip(iw, 0, MAXW * L - 1)
             v = win_smem[iwc >> 7, iwc & (L - 1)]
             adv_s = (v >> 16) & 0xFFFF
@@ -177,18 +176,19 @@ def _kernel(
             def _():
                 tbuf_smem[tc >> 7, tc & (L - 1)] = p
 
-            toomany = active & ~at_end & (t >= TMAX)
-            stall2 = stall | (active & ~at_end & (t < TMAX) & ~inwin)
+            stall2 = stall | (active & ~at_end & ~inwin)
             return (
                 jnp.where(take, p + adv_s, p),
                 jnp.where(take, t + 1, t),
                 jnp.where(take, tc + 1, tc),
-                err_w | jnp.where(iserr | toomany, 1, 0),
-                done | jnp.where((active & at_end) | iserr | toomany, 1, 0),
+                err_w | jnp.where(iserr, 1, 0),
+                done | jnp.where((active & at_end) | iserr, 1, 0),
                 stall2,
             )
 
-        trips = jnp.minimum(INNER, TBUF * L - tc)
+        # trips bound: free buffer slots and the TMAX cap replace in-body
+        # room/TMAX checks (a tag-overflow block stalls to rounds exhaustion)
+        trips = jnp.minimum(jnp.minimum(INNER, TBUF * L - tc), TMAX - t)
         p, t, tc, err_w, done, _ = jax.lax.fori_loop(
             0, trips, inner, (p, t, tc, err_w, done, jnp.int32(0))
         )
@@ -306,45 +306,23 @@ def _kernel(
     if _cut(5, lv_ref[...]):
         return
 
-    LG = min(32, CO)  # local-round group rows
-    own_lane = jax.lax.broadcasted_iota(jnp.int32, (LG, L), 1)
-    row_of = kl.row_iota(LG) >> 7  # (LG, L): group-local row per element
-
-    def local_round(c):
-        k, _ch = c
-
-        def grp(g, ch):
-            r0 = pl.multiple_of(g * LG, 8)
-            par8 = par_ref[pl.ds(r0, LG), :]
-            ar8 = r0 + row_of
-            loc = (par8 >> 7) == ar8
-            li8 = jnp.where(loc, par8 & (L - 1), own_lane)
-            g8 = kl.local_gather_rows(par8, li8)
-            new8 = jnp.where(loc, g8, par8)
-            par_ref[pl.ds(r0, LG), :] = new8
-            return ch + jnp.sum((new8 != par8).astype(jnp.int32))
-
-        return k + 1, jax.lax.fori_loop(0, CO // LG, grp, 0)
-
-    jax.lax.while_loop(
-        lambda c: (c[1] > 0) & (c[0] < LOCAL_MAX), local_round, (z, jnp.int32(1))
-    )
-
     if _cut(6, par_ref[...]):
         return
+
+    GN = min(16, CO)  # doubling-round group rows
 
     def global_round(c):
         k, _ch = c
         par_t = par_ref[...]  # Jacobi: this round reads round-k values
 
         def grp(g, ch):
-            r0 = pl.multiple_of(g * 8, 8)
-            par8 = par_ref[pl.ds(r0, 8), :]
-            (new8,) = kl.gather_rows_multi([(par_t, 15)], par_ref, r0)
-            par_ref[pl.ds(r0, 8), :] = new8
-            return ch + jnp.sum((new8 != par8).astype(jnp.int32))
+            r0 = pl.multiple_of(g * GN, 8)
+            parg = par_ref[pl.ds(r0, GN), :]
+            (newg,) = kl.gather_rows_multi([(par_t, 15)], par_ref, r0, nrows=GN)
+            par_ref[pl.ds(r0, GN), :] = newg
+            return ch + jnp.sum((newg != parg).astype(jnp.int32))
 
-        return k + 1, jax.lax.fori_loop(0, CO // 8, grp, 0)
+        return k + 1, jax.lax.fori_loop(0, CO // GN, grp, 0)
 
     jax.lax.while_loop(
         lambda c: (c[1] > 0) & (c[0] < GLOBAL_MAX), global_round, (z, jnp.int32(1))
