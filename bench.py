@@ -3,20 +3,21 @@
 
 Headline: batched 32 KiB-block decompress GB/s on one chip (the serving
 path: zram/container mode, SURVEY.md §3.3), vs the reference's 645.5 MB/s
-single-core urls.10K decompress (userspace_benchmark.txt:101).
+single-core urls.10K decompress (userspace_benchmark.txt:101).  Also:
+whole-stream decode of the reference golden stream through the segmented
+fused decoder, and fused compress (vs 240.1 MB/s reference).
 
 Measurement notes (ARCHITECTURE.md): this pod's runtime acks dispatches
-before execution and can short-circuit repeated identical calls, so naive
-timers lie.  Every number here comes from K-iteration fori_loops inside one
-jit with loop-dependent inputs and a forced scalar readback; cost per op is
-the slope between two K values.
+before execution, short-circuits repeated identical calls, and XLA hoists
+loop-invariant calls out of timing loops wholesale.  Every number comes
+from K-iteration fori_loops inside one jit whose inputs GENUINELY depend on
+the loop index (a padding byte for decode, a data bit for encode), with a
+forced scalar readback; cost per op is the slope between two K values.
 """
-import functools
 import json
 import os
 import pathlib
 import sys
-import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(pathlib.Path(__file__).parent / ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
@@ -28,33 +29,13 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).parent))
 
 from csnappy_tpu.models import pymodel, wire
-from csnappy_tpu.ops import decode_block, decode_jnp, encode_jnp
+from csnappy_tpu.ops import decode_fused, decode_stream, encode_fused
+from csnappy_tpu.tools.timing import slope_time
 
 DATA_DIR = pathlib.Path(__file__).parent / "tests" / "data"
 REF_DECOMPRESS_GBPS = 0.6455
 REF_COMPRESS_GBPS = 0.2401
 REF_SIZE = 357267
-
-
-def slope_time(make_step, k_lo=2, k_hi=8, reps=2):
-    """Wall seconds per step: K-loop slope with forced scalar readback."""
-
-    @jax.jit
-    def run(K, seed):
-        def body(k, acc):
-            return acc + make_step(k + seed)
-        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
-
-    int(run(1, 0))  # compile
-    ts = {}
-    for K in (k_lo, k_hi):
-        best = 1e9
-        for r in range(reps):
-            t0 = time.perf_counter()
-            int(run(K, r * 13))
-            best = min(best, time.perf_counter() - t0)
-        ts[K] = best
-    return max((ts[k_hi] - ts[k_lo]) / (k_hi - k_lo), 1e-9)
 
 
 def main():
@@ -64,29 +45,29 @@ def main():
 
     # ---- batched block decompress (serving path), 16 x 32KB blocks ----
     B = 16
-    blocks = [data[i * 32768 : (i + 1) * 32768] for i in range(B)]
-    blocks = [b if b else data[:32768] for b in blocks]
+    blocks = [data[i * 32768 : (i + 1) * 32768] or data[:32768] for i in range(B)]
     frags = [pymodel.compress_fragment(b) for b in blocks]
-    P = 128 * ((max(len(f) for f in frags) + 127) // 128)
+    P = decode_fused._round_up(max(len(f) for f in frags) + 128, 1024)
     arr = np.zeros((B, P), np.uint8)
     lens = np.zeros((B,), np.int32)
     for i, f in enumerate(frags):
         arr[i, : len(f)] = np.frombuffer(f, np.uint8)
         lens[i] = len(f)
-    out, produced, status = decode_block.decode_blocks(arr, lens, 32768)
+    out, produced, status = decode_fused.decode_blocks(arr, lens, 32768)
     assert (status == 0).all(), status
     for i, b in enumerate(blocks):
         assert out[i, : len(b)].tobytes() == b, f"block {i} decode mismatch"
     total = sum(len(b) for b in blocks)
 
-    comp_dev = jax.device_put(jnp.asarray(arr.astype(np.int32)))
+    dfn = decode_fused._compiled(B, P // 128, 256)
+    comp_dev = jax.device_put(jnp.asarray(arr.astype(np.int32)).reshape(B, P // 128, 128))
     lens_dev = jax.device_put(jnp.asarray(lens))
     cap_dev = jax.device_put(jnp.full((B,), 32768, np.int32))
-    dfn = decode_block._compiled(P, 32768)
 
     def dec_step(k):
-        o, p, s = dfn(comp_dev + k * 0, lens_dev, cap_dev)
-        return p.sum() + o[0, 0].astype(jnp.int32)
+        ck = comp_dev.at[:, -1, 127].add(k & 63)  # padding byte: loop dep
+        o, m = dfn(lens_dev, cap_dev, ck)
+        return m[:, 0].sum() + o[0, 0, 0]
 
     t_dec = slope_time(dec_step)
     dec_gbps = total / t_dec / 1e9
@@ -94,38 +75,46 @@ def main():
     # ---- whole-stream decompress of the reference golden stream ----
     ulen, hdr = wire.varint_decode(golden)
     body_np = np.frombuffer(golden[hdr:], np.uint8)
-    Pw = decode_jnp._bucket(len(body_np))
-    OUTw = decode_jnp._bucket(ulen)
-    wcomp = jax.device_put(jnp.asarray(np.pad(body_np, (0, Pw - len(body_np))).astype(np.int32)))
-    wfn = decode_jnp._compiled_single(Pw, OUTw)
-    o, p, s = wfn(wcomp, jnp.int32(len(body_np)), jnp.int32(ulen))
-    assert int(s) == 0 and np.asarray(o[:n]).astype(np.uint8).tobytes() == data
+    o, p, s = decode_stream.decompress_noheader_np(body_np, ulen)
+    assert s == 0 and p == n and o.tobytes() == data, (s, p)
+    CIT = decode_stream._round_up(len(body_np), 1024) // 128 + decode_stream.WINR + decode_stream.MAXW
+    CIT = decode_stream._round_up(CIT, 8)
+    NSEG = decode_stream._round_up(ulen, decode_stream.SEG) // decode_stream.SEG
+    wfn = decode_stream._compiled(CIT, NSEG)
+    warr = np.zeros((CIT, 128), np.uint8)
+    warr.reshape(-1)[: len(body_np)] = body_np
+    wcomp = jax.device_put(jnp.asarray(warr.astype(np.int32)))
+    wslen = jax.device_put(jnp.full((1,), len(body_np), np.int32))
+    wdlim = jax.device_put(jnp.full((1,), ulen, np.int32))
 
     def wdec_step(k):
-        o, p, s = wfn(wcomp + k * 0, jnp.int32(len(body_np)), jnp.int32(ulen))
-        return p + o[0]
+        ck = wcomp.at[-1, 127].add(k & 63)
+        o2, m2 = wfn(wslen, wdlim, ck)
+        return m2[0, 0] + o2[0, 0, 0]
 
     t_wdec = slope_time(wdec_step, k_lo=1, k_hi=3)
     wdec_gbps = n / t_wdec / 1e9
 
     # ---- compress, batched 32KB fragments ----
     nb = (n + 32768 - 1) // 32768
-    pages = np.zeros((nb, 32768), np.uint8)
+    Bp = encode_fused._round_up(nb, 8)
+    pages = np.zeros((Bp, 32768), np.uint8)
     pages.reshape(-1)[:n] = np.frombuffer(data, np.uint8)
-    blens = np.full((nb,), 32768, np.int32)
-    blens[-1] = n - (nb - 1) * 32768
-    efn = encode_jnp._compiled_batch(32768)
-    pages_dev = jax.device_put(jnp.asarray(pages.astype(np.int32)))
-    blens_dev = jax.device_put(jnp.asarray(blens))
-    comp, clens = efn(pages_dev, blens_dev)
-    comp_np, clens_np = np.asarray(comp), np.asarray(clens)
-    comp_size = len(wire.varint_encode(n)) + int(clens_np.sum())
-    stream = b"".join(comp_np[i, : clens_np[i]].tobytes() for i in range(nb))
+    blens = np.zeros((Bp,), np.int32)
+    blens[:nb] = 32768
+    blens[nb - 1] = n - (nb - 1) * 32768
+    comp, clens = encode_fused.encode_blocks(pages, blens)
+    comp_size = len(wire.varint_encode(n)) + int(clens[:nb].sum())
+    stream = b"".join(comp[i, : clens[i]].tobytes() for i in range(nb))
     assert pymodel.decompress_noheader(stream, n) == data, "compress roundtrip failed"
 
+    efn = encode_fused._compiled(Bp, 256)
+    pages_dev = jax.device_put(jnp.asarray(pages.astype(np.int32)))
+    blens_dev = jax.device_put(jnp.asarray(blens))
+
     def enc_step(k):
-        c, l = efn(pages_dev + k * 0, blens_dev)
-        return l.sum() + c[0, 0].astype(jnp.int32)
+        c, m = efn(pages_dev ^ (k & 1), blens_dev)  # real loop dependence
+        return m[:, 0].sum() + c[0, 0, 0]
 
     t_enc = slope_time(enc_step, k_lo=1, k_hi=3)
     enc_gbps = n / t_enc / 1e9

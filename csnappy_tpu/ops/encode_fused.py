@@ -72,7 +72,7 @@ def _kernel(
     t1_ref, t2_ref, spq_ref, sp1_ref, sp2_ref, sp3_ref,  # tag scratch
     h1_ref, h2_ref, h3_ref, vals_ref, lidx_ref,          # emission scratch
     sps_ref, scs_ref,                                    # sorted-input copies
-    dpk_smem, wwin_smem, tb1_smem, tb2_smem, sem,        # SMEM + DMA
+    dpk_smem, wwin_smem, tb1_smem, tb2_smem, wsm, sem,   # SMEM + DMA
     *, BR: int, OCR: int, phases: int = 99,
 ):
     def _cut(n, *vals):
@@ -151,13 +151,20 @@ def _kernel(
         return
 
     # --------------------------------------------------------- greedy walk
+    # State lives in SMEM cells so each mode runs as a pl.when-specialized
+    # branch (only the active mode's ops execute per iteration; the
+    # everything-both-ways formulation measured ~95 cycles/step).
+    S_P, S_LITS, S_T, S_TC, S_MODE, S_MS, S_MC, S_J, S_DONE, S_STALL, S_FL, S_WB = range(12)
+    for cell in range(12):
+        wsm[cell] = 0
+
     cp0 = pltpu.make_async_copy(wst_ref.at[0:MAXW], wwin_smem, sem)
     cp0.start()
     cp0.wait()
 
     def w_at(idx):
         """LE 4-byte word at byte index idx, from packed SMEM words."""
-        k = idx >> 2
+        k = jnp.clip(idx >> 2, 0, BRW * L - 1)
         r = idx & 3
         k2 = jnp.minimum(k + 1, BRW * L - 1)
         a = dpk_smem[k >> 7, k & (L - 1)]
@@ -165,165 +172,230 @@ def _kernel(
         comb = _srl(a, 8 * r) | jax.lax.shift_left(c, (32 - 8 * r) & 31)
         return jnp.where(r == 0, a, comb)
 
-    def outer_cond(c):
-        return (c[8] == 0) & (c[10] < MAX_ROUNDS)
+    def _flush():
+        tc = wsm[S_TC]
+        frows = tc >> 7
+        tail = tc & (L - 1)
 
-    def outer_body(c):
-        p, lits, t, tc, mode, mstart, mcand, j, done, wb, rounds = c
-        full = tc >= TBUF * L
-
-        @pl.when(full)
+        @pl.when(frows > 0)
         def _():
-            fr = (t >> 7) - TBUF
-            c1 = pltpu.make_async_copy(tb1_smem, t1_ref.at[pl.ds(fr, TBUF)], sem)
+            dst = wsm[S_FL] >> 7
+            c1 = pltpu.make_async_copy(tb1_smem, t1_ref.at[pl.ds(dst, TBUF)], sem)
             c1.start()
             c1.wait()
-            c2 = pltpu.make_async_copy(tb2_smem, t2_ref.at[pl.ds(fr, TBUF)], sem)
+            c2 = pltpu.make_async_copy(tb2_smem, t2_ref.at[pl.ds(dst, TBUF)], sem)
             c2.start()
             c2.wait()
+            wsm[S_FL] = wsm[S_FL] + frows * L
 
-        tc = jnp.where(full, 0, tc)
-        iw0 = p - wb * L
+            def mv(i, _):
+                @pl.when(i < tail)
+                def _():
+                    src_r = jnp.minimum(frows, TBUF - 1)
+                    tb1_smem[0, i] = tb1_smem[src_r, i]
+                    tb2_smem[0, i] = tb2_smem[src_r, i]
+                return 0
+
+            jax.lax.fori_loop(0, L, mv, 0)
+            wsm[S_TC] = tail
+
+    def outer_cond(c):
+        return (c[1] == 0) & (c[0] < MAX_ROUNDS)
+
+    def outer_body(c):
+        rounds, _done = c
+
+        @pl.when(wsm[S_TC] >= TBUF * L - 1)
+        def _():
+            _flush()
+
+        p0 = wsm[S_P]
+        iw0 = p0 - wsm[S_WB] * L
         needw = (iw0 < 0) | (iw0 >= MAXW * L)
-        wb2 = jnp.where(needw, jnp.minimum(p >> 7, BRP - MAXW), wb)
 
         @pl.when(needw)
         def _():
+            wb2 = jnp.minimum(p0 >> 7, BRP - MAXW)
+            wsm[S_WB] = wb2
             cw = pltpu.make_async_copy(wst_ref.at[pl.ds(wb2, MAXW)], wwin_smem, sem)
             cw.start()
             cw.wait()
 
-        def inner(i, ic):
-            # Modes: 0 = SCAN (probe/jump at p), 1 = EXTEND (one word-compare
-            # step of the match at mstart/mcand), 2 = EMITC (emit the pending
-            # copy tag, length carried in j).  Every iteration emits at most
-            # ONE tag, so the buffer flushes exactly at TBUF*L (aligned DMA).
-            p, lits, t, tc, mode, mstart, mcand, j, done, stall = ic
-            active = (done == 0) & (stall == 0)
-            room = tc < TBUF * L
-            scan = active & (mode == 0)
-            ext = active & (mode == 1)
-            emc = active & (mode == 2)
+        wsm[S_STALL] = 0
+        wb2 = wsm[S_WB]
 
-            # ---- SCAN: read walk stream at p
-            iw = p - wb2 * L
-            inwin = (iw >= 0) & (iw < MAXW * L)
-            iwc = jnp.clip(iw, 0, MAXW * L - 1)
-            vv = wwin_smem[iwc >> 7, iwc & (L - 1)]
-            s_cand = vv & 0xFFFF
-            s_nc = _srl(vv, 16) & 0xFFFF
-            at_end = p >= blen
-            s_stall = scan & ~at_end & ~inwin
-            scan_ok = scan & ~s_stall
-            # end: emit the final pending literal (needs room), stop
-            want_end = scan_ok & at_end
-            end_lit = want_end & (lits < blen) & (t < TMAX)
-            end_emit = end_lit & room
-            e1_stall = end_lit & ~room
+        def inner(i, _):
+            act = (wsm[S_DONE] == 0) & (wsm[S_STALL] == 0)
+            mode = wsm[S_MODE]
 
-            @pl.when(end_emit)
-            def _():
-                tb1_smem[tc >> 7, tc & (L - 1)] = lits | ((blen - lits) << 15)
-                tb2_smem[tc >> 7, tc & (L - 1)] = 0
+            @pl.when(act & (mode == 0))
+            def _scan():
+                p = wsm[S_P]
+                at_end = p >= blen
 
-            s_done = want_end & ~e1_stall
-            can = scan_ok & ~at_end & (s_cand != NOCAND)
-            jump = scan_ok & ~at_end & ~can
-            p_jump = jnp.clip(jnp.maximum(s_nc, p + 1), 0, blen)
+                @pl.when(at_end)
+                def _():
+                    lits = wsm[S_LITS]
+                    tc = wsm[S_TC]
+                    pend = lits < blen
 
-            # ---- EXTEND: one word-compare step
-            a = w_at(jnp.clip(mstart + j, 0, BS - 1))
-            bw = w_at(jnp.clip(mcand + j, 0, BS - 1))
-            x = a ^ bw
-            rem = blen - mstart
-            mlmax = jnp.minimum(rem, wire.MAX_COPY_LEN)
-            cont = ext & (x == 0) & (j + 4 < mlmax)
-            fin = ext & ~cont
-            eqb = jnp.where(
-                x == 0,
-                4,
-                ((x & 0xFF) == 0).astype(jnp.int32)
-                + ((x & 0xFFFF) == 0).astype(jnp.int32)
-                + ((x & 0xFFFFFF) == 0).astype(jnp.int32),
-            )
-            ml = jnp.minimum(j + eqb, mlmax)
-            good = fin & (ml >= wire.MIN_MATCH) & (t < TMAX)
-            bad = fin & ~good
-            needlit = good & (lits < mstart)
-            lit_emit = needlit & room
-            l_stall = needlit & ~room
+                    @pl.when(pend & (tc < TBUF * L))
+                    def _():
+                        tb1_smem[tc >> 7, tc & (L - 1)] = lits | ((blen - lits) << 15)
+                        tb2_smem[tc >> 7, tc & (L - 1)] = 0
+                        wsm[S_TC] = tc + 1
+                        wsm[S_T] = wsm[S_T] + 1
+                        wsm[S_DONE] = 1
 
-            @pl.when(lit_emit)
-            def _():
-                tb1_smem[tc >> 7, tc & (L - 1)] = lits | ((mstart - lits) << 15)
-                tb2_smem[tc >> 7, tc & (L - 1)] = 0
+                    @pl.when(pend & (tc >= TBUF * L))
+                    def _():
+                        wsm[S_STALL] = 1
 
-            # good -> EMITC next (after the literal, if any, went out)
-            to_emc = good & ~l_stall
+                    @pl.when(~pend)
+                    def _():
+                        wsm[S_DONE] = 1
 
-            # ---- EMITC: emit the pending copy tag (length in j)
-            c_emit = emc & room & (t < TMAX)
-            c_stall = emc & ~room
+                iw = p - wb2 * L
+                inwin = (iw >= 0) & (iw < MAXW * L)
 
-            @pl.when(c_emit)
-            def _():
-                tb1_smem[tc >> 7, tc & (L - 1)] = (
-                    mstart | (j << 15) | jnp.int32(-(2**31))
-                )
-                tb2_smem[tc >> 7, tc & (L - 1)] = mstart - mcand
+                @pl.when(~at_end & ~inwin)
+                def _():
+                    wsm[S_STALL] = 1
 
-            # long match: emit 64 and keep extending the same pair
-            longer = c_emit & (j == wire.MAX_COPY_LEN) & (blen - mstart > wire.MAX_COPY_LEN)
-            c_fin = c_emit & ~longer
-            emitted = end_emit | lit_emit | c_emit
+                @pl.when(~at_end & inwin)
+                def _():
+                    iwc = jnp.clip(iw, 0, MAXW * L - 1)
+                    v = wwin_smem[iwc >> 7, iwc & (L - 1)]
+                    cand = v & 0xFFFF
+                    nc = _srl(v, 16) & 0xFFFF
 
-            return (
-                jnp.where(jump, p_jump,
-                          jnp.where(c_fin, mstart + j, jnp.where(bad, mstart + 1, p))),
-                jnp.where(c_emit, mstart + j, lits),
-                jnp.where(emitted, t + 1, t),
-                jnp.where(emitted, tc + 1, tc),
-                jnp.where(can | longer, 1,
-                          jnp.where(to_emc, 2, jnp.where(bad | c_fin, 0, mode))),
-                jnp.where(can, p, jnp.where(longer, mstart + wire.MAX_COPY_LEN, mstart)),
-                jnp.where(can, s_cand, jnp.where(longer, mcand + wire.MAX_COPY_LEN, mcand)),
-                jnp.where(can | longer, 0, jnp.where(cont, j + 4, jnp.where(to_emc, ml, j))),
-                done | jnp.where(s_done, 1, 0),
-                stall | jnp.where(s_stall | e1_stall | l_stall | c_stall, 1, 0),
-            )
+                    @pl.when(cand == NOCAND)
+                    def _():
+                        wsm[S_P] = jnp.clip(jnp.maximum(nc, p + 1), 0, blen)
 
-        p, lits, t, tc, mode, mstart, mcand, j, done, _ = jax.lax.fori_loop(
-            0, INNER, inner,
-            (p, lits, t, tc, mode, mstart, mcand, j, done, jnp.int32(0)),
-        )
-        return p, lits, t, tc, mode, mstart, mcand, j, done, wb2, rounds + 1
+                    @pl.when(cand != NOCAND)
+                    def _():
+                        x = w_at(p) ^ w_at(cand)
+
+                        @pl.when(x != 0)
+                        def _():
+                            wsm[S_P] = p + 1
+
+                        @pl.when(x == 0)
+                        def _():
+                            wsm[S_MODE] = 1
+                            wsm[S_MS] = p
+                            wsm[S_MC] = cand
+                            wsm[S_J] = 4
+
+            @pl.when(act & (mode == 1))
+            def _extend():
+                ms = wsm[S_MS]
+                mc = wsm[S_MC]
+                j = wsm[S_J]
+                rem = blen - ms
+                mlmax = jnp.minimum(rem, wire.MAX_COPY_LEN)
+                x1 = w_at(ms + j) ^ w_at(mc + j)
+                x2 = w_at(ms + j + 4) ^ w_at(mc + j + 4)
+                cont = (x1 == 0) & (x2 == 0) & (j + 8 < mlmax)
+
+                @pl.when(cont)
+                def _():
+                    wsm[S_J] = j + 8
+
+                @pl.when(~cont)
+                def _():
+                    eqb1 = jnp.where(
+                        x1 == 0, 4,
+                        ((x1 & 0xFF) == 0).astype(jnp.int32)
+                        + ((x1 & 0xFFFF) == 0).astype(jnp.int32)
+                        + ((x1 & 0xFFFFFF) == 0).astype(jnp.int32),
+                    )
+                    eqb2 = jnp.where(
+                        x2 == 0, 4,
+                        ((x2 & 0xFF) == 0).astype(jnp.int32)
+                        + ((x2 & 0xFFFF) == 0).astype(jnp.int32)
+                        + ((x2 & 0xFFFFFF) == 0).astype(jnp.int32),
+                    )
+                    ml = jnp.minimum(j + jnp.where(x1 == 0, 4 + eqb2, eqb1), mlmax)
+                    good = ml >= wire.MIN_MATCH
+
+                    @pl.when(~good)
+                    def _():
+                        wsm[S_MODE] = 0  # failed continuation; rescan at p
+
+                    @pl.when(good)
+                    def _():
+                        tc = wsm[S_TC]
+
+                        @pl.when(tc + 2 > TBUF * L)
+                        def _():
+                            wsm[S_STALL] = 1
+
+                        @pl.when(tc + 2 <= TBUF * L)
+                        def _():
+                            lits = wsm[S_LITS]
+                            needlit = (lits < ms).astype(jnp.int32)
+
+                            @pl.when(needlit > 0)
+                            def _():
+                                tb1_smem[tc >> 7, tc & (L - 1)] = lits | ((ms - lits) << 15)
+                                tb2_smem[tc >> 7, tc & (L - 1)] = 0
+
+                            tc1 = tc + needlit
+                            tb1_smem[tc1 >> 7, tc1 & (L - 1)] = (
+                                ms | (ml << 15) | jnp.int32(-(2**31))
+                            )
+                            tb2_smem[tc1 >> 7, tc1 & (L - 1)] = ms - mc
+                            wsm[S_TC] = tc1 + 1
+                            wsm[S_T] = wsm[S_T] + needlit + 1
+                            p2 = ms + ml
+                            wsm[S_P] = p2
+                            wsm[S_LITS] = p2
+                            longer = (ml == wire.MAX_COPY_LEN) & (rem > wire.MAX_COPY_LEN)
+
+                            @pl.when(longer)
+                            def _():
+                                wsm[S_MS] = ms + wire.MAX_COPY_LEN
+                                wsm[S_MC] = mc + wire.MAX_COPY_LEN
+                                wsm[S_J] = 0
+
+                            @pl.when(~longer)
+                            def _():
+                                wsm[S_MODE] = 0
+
+            return 0
+
+        jax.lax.fori_loop(0, INNER, inner, 0)
+        return rounds + 1, wsm[S_DONE]
 
     z = jnp.int32(0)
-    st = jax.lax.while_loop(
-        outer_cond, outer_body, (z, z, z, z, z, z, z, z, z, z, z)
-    )
-    _p, _lits, ntags, tc_f, _m, _ms, _mc, _j, done_f, _wb, _r = st
+    jax.lax.while_loop(outer_cond, outer_body, (z, z))
+    _flush()
 
-    @pl.when(tc_f > 0)
+    @pl.when(wsm[S_TC] > 0)
     def _():
-        fr = (ntags - tc_f) >> 7
-        c1 = pltpu.make_async_copy(tb1_smem, t1_ref.at[pl.ds(fr, TBUF)], sem)
+        dst = wsm[S_FL] >> 7
+        c1 = pltpu.make_async_copy(tb1_smem, t1_ref.at[pl.ds(dst, TBUF)], sem)
         c1.start()
         c1.wait()
-        c2 = pltpu.make_async_copy(tb2_smem, t2_ref.at[pl.ds(fr, TBUF)], sem)
+        c2 = pltpu.make_async_copy(tb2_smem, t2_ref.at[pl.ds(dst, TBUF)], sem)
         c2.start()
         c2.wait()
+
+    ntags = wsm[S_T]
+    done_f = wsm[S_DONE]
 
     if _cut(4, ntags, t1_ref[...], t2_ref[...]):
         return
 
     # ------------------------------------------------------------ emission
     ti = kl.row_iota(TR) < ntags
-    t1v = t1_ref[...]
+    t1v = t1_ref[0:TR, :]
     ism = _srl(t1v, 31)
     pos_t = t1v & 0x7FFF
     len_t = _srl(t1v, 15) & 0xFFFF
-    off_t = t2_ref[...]
+    off_t = t2_ref[0:TR, :]
     rl1 = jnp.maximum(len_t - 1, 0)
     extra_t = jnp.where(rl1 < 60, 0, jnp.where(rl1 < 256, 1, 2)) * (1 - ism)
     use_c1 = (ism == 1) & (len_t <= wire.COPY1_MAX_LEN) & (off_t < wire.COPY1_MAX_OFFSET)
@@ -470,8 +542,8 @@ def _compiled(B: int, BR: int, hash_bits: int = 16, phases: int = 99):
                 pltpu.VMEM((BR, L), i32),            # cand
                 pltpu.VMEM((BRP, L), i32),           # wst
                 pltpu.VMEM((BRW, L), i32),           # wpk
-                pltpu.VMEM((TR, L), i32),            # t1
-                pltpu.VMEM((TR, L), i32),            # t2
+                pltpu.VMEM((TR + TBUF, L), i32),     # t1 (+flush slack)
+                pltpu.VMEM((TR + TBUF, L), i32),     # t2 (+flush slack)
                 pltpu.VMEM((TR, L), i32),            # spq
                 pltpu.VMEM((TR, L), i32),            # sp1
                 pltpu.VMEM((TR, L), i32),            # sp2
@@ -487,6 +559,7 @@ def _compiled(B: int, BR: int, hash_bits: int = 16, phases: int = 99):
                 pltpu.SMEM((MAXW, L), i32),          # walk-stream window
                 pltpu.SMEM((TBUF, L), i32),          # tag buffer 1
                 pltpu.SMEM((TBUF, L), i32),          # tag buffer 2
+                pltpu.SMEM((16,), i32),              # walk state cells
                 pltpu.SemaphoreType.DMA,
             ],
             compiler_params=pltpu.CompilerParams(
