@@ -297,27 +297,33 @@ def _kernel(
                 mlmax = jnp.minimum(rem, wire.MAX_COPY_LEN)
                 x1 = w_at(ms + j) ^ w_at(mc + j)
                 x2 = w_at(ms + j + 4) ^ w_at(mc + j + 4)
-                cont = (x1 == 0) & (x2 == 0) & (j + 8 < mlmax)
+                x3 = w_at(ms + j + 8) ^ w_at(mc + j + 8)
+                x4 = w_at(ms + j + 12) ^ w_at(mc + j + 12)
+                allz = (x1 == 0) & (x2 == 0) & (x3 == 0) & (x4 == 0)
+                cont = allz & (j + 16 < mlmax)
 
                 @pl.when(cont)
                 def _():
-                    wsm[S_J] = j + 8
+                    wsm[S_J] = j + 16
 
                 @pl.when(~cont)
                 def _():
-                    eqb1 = jnp.where(
-                        x1 == 0, 4,
-                        ((x1 & 0xFF) == 0).astype(jnp.int32)
-                        + ((x1 & 0xFFFF) == 0).astype(jnp.int32)
-                        + ((x1 & 0xFFFFFF) == 0).astype(jnp.int32),
+                    def teq(x):
+                        return jnp.where(
+                            x == 0, 4,
+                            ((x & 0xFF) == 0).astype(jnp.int32)
+                            + ((x & 0xFFFF) == 0).astype(jnp.int32)
+                            + ((x & 0xFFFFFF) == 0).astype(jnp.int32),
+                        )
+
+                    run = jnp.where(
+                        x1 != 0, teq(x1),
+                        4 + jnp.where(
+                            x2 != 0, teq(x2),
+                            4 + jnp.where(x3 != 0, teq(x3), 4 + teq(x4)),
+                        ),
                     )
-                    eqb2 = jnp.where(
-                        x2 == 0, 4,
-                        ((x2 & 0xFF) == 0).astype(jnp.int32)
-                        + ((x2 & 0xFFFF) == 0).astype(jnp.int32)
-                        + ((x2 & 0xFFFFFF) == 0).astype(jnp.int32),
-                    )
-                    ml = jnp.minimum(j + jnp.where(x1 == 0, 4 + eqb2, eqb1), mlmax)
+                    ml = jnp.minimum(j + run, mlmax)
                     good = ml >= wire.MIN_MATCH
 
                     @pl.when(~good)
