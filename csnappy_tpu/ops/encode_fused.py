@@ -113,6 +113,26 @@ def _kernel(
     if _cut(1, cand_ref[...]):
         return
 
+    # ---------------------------- dense candidate verification (MXU gather)
+    # one gather of w[cand] refutes hash collisions up front, so the walk
+    # never burns iterations on false candidates (FindMatchLength's 4-byte
+    # entry check, csnappy_compress.c:539-551, done for every position at once)
+    VN = min(16, BR)
+
+    def ver_grp(g, _):
+        r0 = pl.multiple_of(g * VN, 8)
+        (wc,) = kl.gather_rows_multi(
+            [(w, 32)], cand_ref, r0, nrows=VN,
+            pre=lambda r: jnp.clip(r, 0, BS - 1),
+        )
+        candg = cand_ref[pl.ds(r0, VN), :]
+        wrow = w_ref[0, pl.ds(r0, VN), :]
+        ok = (candg != NOCAND) & (wc == wrow)
+        cand_ref[pl.ds(r0, VN), :] = jnp.where(ok, candg, NOCAND)
+        return 0
+
+    jax.lax.fori_loop(0, BR // VN, ver_grp, 0)
+
     # ------------------------------------------- next-candidate jump table
     cand = cand_ref[...]
     has = (cand != NOCAND) & (pos + 4 <= blen) & (cand < pos)
@@ -275,18 +295,11 @@ def _kernel(
 
                     @pl.when(cand != NOCAND)
                     def _():
-                        x = w_at(p) ^ w_at(cand)
-
-                        @pl.when(x != 0)
-                        def _():
-                            wsm[S_P] = p + 1
-
-                        @pl.when(x == 0)
-                        def _():
-                            wsm[S_MODE] = 1
-                            wsm[S_MS] = p
-                            wsm[S_MC] = cand
-                            wsm[S_J] = 4
+                        # pre-verified: first 4 bytes are known equal
+                        wsm[S_MODE] = 1
+                        wsm[S_MS] = p
+                        wsm[S_MC] = cand
+                        wsm[S_J] = 4
 
             @pl.when(act & (mode == 1))
             def _extend():

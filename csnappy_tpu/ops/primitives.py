@@ -93,11 +93,6 @@ def local_gather(values, idx):
     return out.reshape(shape)
 
 
-def local_gather_multi(arrays, idx):
-    """Local-gather several arrays at the same indices."""
-    return [local_gather(a, idx) for a in arrays]
-
-
 # ------------------------------------------------------- local scatter-or --
 
 

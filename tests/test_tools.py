@@ -44,3 +44,11 @@ def test_benchtable_py_backend(tmp_path, capsys):
     assert benchtable.main(["-b", "py", str(p)]) == 0
     out = capsys.readouterr().out
     assert "MB/s" in out and "ratio" in out
+
+
+def test_movebench_runs(capsys):
+    from csnappy_tpu.tools import movebench
+
+    assert movebench.main(["2048"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("elem_per_s") == 5
