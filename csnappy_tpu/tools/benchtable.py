@@ -61,7 +61,8 @@ def _measure_jax(data: bytes) -> dict:
     n_out = int(clens.sum()) + len(wire.varint_encode(n))
 
     Bp = decode_fused._round_up(nb, 8)
-    P = decode_fused._round_up(int(clens.max()), 1024)
+    # fixed width bucket: one kernel compile serves every corpus file
+    P = decode_fused._round_up(wire.max_compressed_length(BS), 1024)
     arr = np.zeros((Bp, P), np.uint8)
     for i in range(nb):
         arr[i, : clens[i]] = comp[i, : clens[i]]
