@@ -62,7 +62,7 @@ def _kernel(
     ap_ref, kf_ref, ls_ref,                         # dense scratch (CI*, L)
     tpos_ref, tprod_ref, tkf_ref, tls_ref, tose_ref,  # compact tag scratch
     h0_ref, h1_ref, h2_ref, par_ref, lv_ref, lidx_ref,  # output-side scratch
-    win_smem, tbuf_smem, sem,                       # SMEM + DMA
+    win_smem, tbuf_smem, gflags, sem,               # SMEM + DMA
     *, CI: int, CO: int, phases: int = 99,
 ):
     def _cut(n, *vals):
@@ -310,19 +310,32 @@ def _kernel(
         return
 
     GN = min(16, CO)  # doubling-round group rows
+    NG = CO // GN
+
+    def ginit(g, _):
+        gflags[g] = 1
+        return 0
+
+    jax.lax.fori_loop(0, NG, ginit, 0)
 
     def global_round(c):
         k, _ch = c
         par_t = par_ref[...]  # Jacobi: this round reads round-k values
 
         def grp(g, ch):
-            r0 = pl.multiple_of(g * GN, 8)
-            parg = par_ref[pl.ds(r0, GN), :]
-            (newg,) = kl.gather_rows_multi([(par_t, 15)], par_ref, r0, nrows=GN)
-            par_ref[pl.ds(r0, GN), :] = newg
-            return ch + jnp.sum((newg != parg).astype(jnp.int32))
+            # a group whose parents were all stable last round points only
+            # at roots (roots never move) — skip it forever
+            @pl.when(gflags[g] > 0)
+            def _():
+                r0 = pl.multiple_of(g * GN, 8)
+                parg = par_ref[pl.ds(r0, GN), :]
+                (newg,) = kl.gather_rows_multi([(par_t, 15)], par_ref, r0, nrows=GN)
+                par_ref[pl.ds(r0, GN), :] = newg
+                gflags[g] = jnp.sum((newg != parg).astype(jnp.int32))
 
-        return k + 1, jax.lax.fori_loop(0, CO // GN, grp, 0)
+            return ch + gflags[g]
+
+        return k + 1, jax.lax.fori_loop(0, NG, grp, 0)
 
     jax.lax.while_loop(
         lambda c: (c[1] > 0) & (c[0] < GLOBAL_MAX), global_round, (z, jnp.int32(1))
@@ -405,6 +418,7 @@ def _compiled(B: int, CI: int, CO: int, phases: int = 99):
                 pltpu.VMEM((CO, L), i32),           # lidx
                 pltpu.SMEM((MAXW, L), i32),         # walk window
                 pltpu.SMEM((TBUF, L), i32),         # tag buffer
+                pltpu.SMEM((32,), i32),             # doubling group flags
                 pltpu.SemaphoreType.DMA,
             ],
             compiler_params=pltpu.CompilerParams(

@@ -63,7 +63,7 @@ def _kernel(
     wcomp_ref, ap_ref, kf_ref, ls_ref,       # window scratch
     tpos_ref, tprod_ref, tkf_ref, tls_ref, tose_ref,
     h0_ref, h1_ref, h2_ref, par_ref, lv_ref, lidx_ref, hist_ref,
-    carry, win_smem, tbuf_smem, sem,
+    carry, win_smem, tbuf_smem, gflags, sem,
     *, CIT: int,
 ):
     P = WINR * L
@@ -346,26 +346,37 @@ def _kernel(
 
     # doubling table = [history parents: frozen self-loops | segment parents]
     GN = 16
+    NG = CO // GN
+
+    def ginit(g, _):
+        gflags[g] = 1
+        return 0
+
+    jax.lax.fori_loop(0, NG, ginit, 0)
 
     def global_round(c):
         k, _ch = c
         seg_par = par_ref[...]
 
         def grp(g, ch):
-            r0 = pl.multiple_of(g * GN, 8)
-            parg = par_ref[pl.ds(r0, GN), :]
-            # gather from the virtual 512-row table: indices < SEG are
-            # frozen (history) — gather from seg rows only where >= SEG
-            (newg,) = kl.gather_rows_multi(
-                [(seg_par, 16)], par_ref, r0, nrows=GN,
-                pre=lambda r: jnp.clip(r - SEG, 0, SEG - 1),
-            )
-            frozen = parg < SEG
-            upd = jnp.where(frozen, parg, newg)
-            par_ref[pl.ds(r0, GN), :] = upd
-            return ch + jnp.sum((upd != parg).astype(jnp.int32))
+            @pl.when(gflags[g] > 0)
+            def _():
+                r0 = pl.multiple_of(g * GN, 8)
+                parg = par_ref[pl.ds(r0, GN), :]
+                # gather from the virtual 2*SEG table: indices < SEG are
+                # frozen (history) — gather from seg rows only where >= SEG
+                (newg,) = kl.gather_rows_multi(
+                    [(seg_par, 16)], par_ref, r0, nrows=GN,
+                    pre=lambda r: jnp.clip(r - SEG, 0, SEG - 1),
+                )
+                frozen = parg < SEG
+                upd = jnp.where(frozen, parg, newg)
+                par_ref[pl.ds(r0, GN), :] = upd
+                gflags[g] = jnp.sum((upd != parg).astype(jnp.int32))
 
-        return k + 1, jax.lax.fori_loop(0, CO // GN, grp, 0)
+            return ch + gflags[g]
+
+        return k + 1, jax.lax.fori_loop(0, NG, grp, 0)
 
     jax.lax.while_loop(
         lambda c: (c[1] > 0) & (c[0] < GLOBAL_MAX), global_round, (z, jnp.int32(1))
@@ -480,6 +491,7 @@ def _compiled(CIT: int, NSEG: int):
                 pltpu.SMEM((16,), i32),              # carry
                 pltpu.SMEM((MAXW, L), i32),          # walk window
                 pltpu.SMEM((TBUF, L), i32),          # tag buffer
+                pltpu.SMEM((32,), i32),              # doubling group flags
                 pltpu.SemaphoreType.DMA,
             ],
             compiler_params=pltpu.CompilerParams(

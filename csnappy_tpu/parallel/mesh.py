@@ -28,7 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import wire
-from ..ops import decode_jnp, encode_jnp
+from ..ops import decode_fused, encode_fused
 
 
 def default_mesh(devices=None, n: int | None = None) -> Mesh:
@@ -39,16 +39,20 @@ def default_mesh(devices=None, n: int | None = None) -> Mesh:
 
 
 def _shard_encode(data, blens, *, bs: int, mesh: Mesh):
-    """shard_map body: local batched encode + global length all-gather."""
+    """shard_map body: local fused-kernel encode + global length all-gather."""
+    BR = bs // 128
 
     def body(d, l):
-        comp, lens = jax.vmap(functools.partial(encode_jnp._encode_core, bs=bs))(d, l)
+        B = d.shape[0]
+        kern = encode_fused._compiled(B, BR)
+        comp, meta = kern(d, l)
+        lens = meta[:, 0]
         all_lens = jax.lax.all_gather(lens, "blocks", tiled=True)
         offsets = jnp.cumsum(all_lens) - all_lens  # identical on every device
-        return comp, lens, offsets
+        return comp.reshape(B, -1), lens, offsets
 
     # check_vma off: kernel scans/loops carry replicated-initialized state
-    # (hash tables, frontier masks) that becomes axis-varying — intended.
+    # (walk state, frontier masks) that becomes axis-varying — intended.
     return jax.shard_map(
         body,
         mesh=mesh,
@@ -60,12 +64,13 @@ def _shard_encode(data, blens, *, bs: int, mesh: Mesh):
 
 def _shard_decode(comp, clens, dst_limits, *, out_cap: int, mesh: Mesh):
     def body(c, l, dl):
-        out, produced, status = jax.vmap(
-            functools.partial(decode_jnp._decode_core, out_cap=out_cap)
-        )(c, l, dl)
+        B, Pw = c.shape
+        kern = decode_fused._compiled(B, Pw // 128, out_cap // 128)
+        out, meta = kern(l, dl, c.reshape(B, Pw // 128, 128))
+        produced, status = meta[:, 0], meta[:, 1]
         all_prod = jax.lax.all_gather(produced, "blocks", tiled=True)
         offsets = jnp.cumsum(all_prod) - all_prod
-        return out, produced, status, offsets
+        return out.reshape(B, -1), produced, status, offsets
 
     return jax.shard_map(
         body,
@@ -113,7 +118,7 @@ def compress_sharded(data: bytes, mesh: Mesh | None = None, bs: int = wire.BLOCK
     comp, lens, offsets = fn(
         jax.device_put(pages.astype(np.int32), sh_b), jax.device_put(blens, sh_l)
     )
-    comp = np.asarray(comp)
+    comp = np.asarray(comp).astype(np.uint8)   # kernel emits byte-per-int32
     lens = np.asarray(lens)
     for i in range(nb):
         out += comp[i, : lens[i]].tobytes()
