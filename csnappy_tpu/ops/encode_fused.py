@@ -295,17 +295,13 @@ def _kernel(
 
                     @pl.when(cand != NOCAND)
                     def _():
-                        # pre-verified: first 4 bytes are known equal; fall
-                        # straight into EXTEND without burning an iteration
+                        # pre-verified: first 4 bytes are known equal
                         wsm[S_MODE] = 1
                         wsm[S_MS] = p
                         wsm[S_MC] = cand
                         wsm[S_J] = 4
-                        wsm[S_STALL] = 0  # (no-op; keeps branch shape)
 
-            mode2 = wsm[S_MODE]  # scan may have just armed a match
-
-            @pl.when(act & (mode2 == 1) & (wsm[S_STALL] == 0) & (wsm[S_DONE] == 0))
+            @pl.when(act & (mode == 1))
             def _extend():
                 ms = wsm[S_MS]
                 mc = wsm[S_MC]
