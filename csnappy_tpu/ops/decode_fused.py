@@ -311,6 +311,27 @@ def _kernel(
 
     GN = min(16, CO)  # doubling-round group rows
     NG = CO // GN
+    BANDR = min(64, CO)  # banded-round table rows (offsets <= ~6KB resolve here)
+
+    def band_round(rnd, _):
+        def grp(g, _2):
+            r0 = pl.multiple_of(g * GN, 8)
+            band_lo = jnp.maximum(r0 + GN - BANDR, 0)
+            tbl = par_ref[pl.ds(band_lo, BANDR), :]
+            parg = par_ref[pl.ds(r0, GN), :]
+            (newg,) = kl.gather_rows_multi(
+                [(tbl, 15)], par_ref, r0, nrows=GN,
+                pre=lambda r: r - band_lo * L,
+            )
+            in_band = parg >= band_lo * L
+            par_ref[pl.ds(r0, GN), :] = jnp.where(in_band, newg, parg)
+            return 0
+
+        jax.lax.fori_loop(0, NG, grp, 0)
+        return 0
+
+    if CO > GN:  # cheap near-offset rounds before the full-table rounds
+        jax.lax.fori_loop(0, 2, band_round, 0)
 
     def ginit(g, _):
         gflags[g] = 1
