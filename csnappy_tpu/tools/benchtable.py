@@ -79,7 +79,8 @@ def _measure_jax(data: bytes) -> dict:
     cap_dev = jax.device_put(jnp.full((Bp,), BS, np.int32))
 
     def dec_step(k):
-        o, m = dfn(lens_dev, cap_dev, comp_dev + k * 0)
+        ck = comp_dev.at[:, -1, 127].add(k & 63)  # padding byte: loop dep
+        o, m = dfn(lens_dev, cap_dev, ck)
         return m[:, 0].sum() + o[0, 0, 0]
 
     t_d = slope_time(dec_step)
@@ -94,7 +95,7 @@ def _measure_jax(data: bytes) -> dict:
     blens_dev = jax.device_put(jnp.asarray(le))
 
     def enc_step(k):
-        c, m = efn(pages_dev + k * 0, blens_dev)
+        c, m = efn(pages_dev ^ (k & 1), blens_dev)  # real loop dependence
         return m[:, 0].sum() + c[0, 0, 0]
 
     t_c = slope_time(enc_step, k_lo=1, k_hi=3)
