@@ -324,7 +324,15 @@ def _kernel(
                 pre=lambda r: r - band_lo * L,
             )
             in_band = parg >= band_lo * L
-            par_ref[pl.ds(r0, GN), :] = jnp.where(in_band, newg, parg)
+            upd = jnp.where(in_band, newg, parg)
+            par_ref[pl.ds(r0, GN), :] = upd
+            # seed the full-round flags from the last band round: a group
+            # is future-active iff something changed or a parent is still
+            # out of band (in-band + unchanged == stable forever)
+            @pl.when(rnd == 1)
+            def _():
+                gflags[g] = jnp.sum(((~in_band) | (upd != parg)).astype(jnp.int32))
+
             return 0
 
         jax.lax.fori_loop(0, NG, grp, 0)
@@ -332,12 +340,12 @@ def _kernel(
 
     if CO > GN:  # cheap near-offset rounds before the full-table rounds
         jax.lax.fori_loop(0, 2, band_round, 0)
+    else:
+        def ginit(g, _):
+            gflags[g] = 1
+            return 0
 
-    def ginit(g, _):
-        gflags[g] = 1
-        return 0
-
-    jax.lax.fori_loop(0, NG, ginit, 0)
+        jax.lax.fori_loop(0, NG, ginit, 0)
 
     def global_round(c):
         k, _ch = c
