@@ -347,12 +347,33 @@ def _kernel(
     # doubling table = [history parents: frozen self-loops | segment parents]
     GN = 16
     NG = CO // GN
+    BANDR = 64
 
-    def ginit(g, _):
-        gflags[g] = 1
+    def band_round(rnd, _):
+        def grp(g, _2):
+            r0 = pl.multiple_of(g * GN, 8)
+            band_lo = jnp.maximum(r0 + GN - BANDR, 0)
+            tbl = par_ref[pl.ds(band_lo, BANDR), :]
+            parg = par_ref[pl.ds(r0, GN), :]
+            (newg,) = kl.gather_rows_multi(
+                [(tbl, 16)], par_ref, r0, nrows=GN,
+                pre=lambda r: r - SEG - band_lo * L,
+            )
+            in_band = parg >= SEG + band_lo * L   # frozen (<SEG) stays put
+            upd = jnp.where(in_band, newg, parg)
+            par_ref[pl.ds(r0, GN), :] = upd
+
+            @pl.when(rnd == 1)
+            def _():
+                unresolved = (parg >= SEG) & (~in_band)
+                gflags[g] = jnp.sum((unresolved | (upd != parg)).astype(jnp.int32))
+
+            return 0
+
+        jax.lax.fori_loop(0, NG, grp, 0)
         return 0
 
-    jax.lax.fori_loop(0, NG, ginit, 0)
+    jax.lax.fori_loop(0, 2, band_round, 0)
 
     def global_round(c):
         k, _ch = c
