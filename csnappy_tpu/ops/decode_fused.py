@@ -212,19 +212,20 @@ def _kernel(
         return
 
     # ----------------------------------------------------------- 3. fields
-    ngroups = (ntags + 8 * L - 1) // (8 * L)
+    FN = 16
+    ngroups = (ntags + FN * L - 1) // (FN * L)
     ap_t = ap_ref[0:CI, :]
     kf_t = kf_ref[...]
     ls_t = ls_ref[...]
 
     def fields_grp(g, _):
-        r0 = pl.multiple_of(g * 8, 8)
+        r0 = pl.multiple_of(g * FN, 8)
         prod8, kf8, ls8 = kl.gather_rows_multi(
-            [(ap_t, 16), (kf_t, 16), (ls_t, 16)], tpos_ref, r0
+            [(ap_t, 16), (kf_t, 16), (ls_t, 16)], tpos_ref, r0, nrows=FN
         )
-        tprod_ref[pl.ds(r0, 8), :] = prod8
-        tkf_ref[pl.ds(r0, 8), :] = kf8
-        tls_ref[pl.ds(r0, 8), :] = ls8
+        tprod_ref[pl.ds(r0, FN), :] = prod8
+        tkf_ref[pl.ds(r0, FN), :] = kf8
+        tls_ref[pl.ds(r0, FN), :] = ls8
         return 0
 
     jax.lax.fori_loop(0, ngroups, fields_grp, 0)
@@ -259,9 +260,10 @@ def _kernel(
     h2_ref[...] = zero
 
     def scat_grp(g, _):
-        r0 = pl.multiple_of(g * 8, 8)
+        r0 = pl.multiple_of(g * FN, 8)
         parts = kl.scatter_rows_multi(
-            tpos_ref, [(tprod_ref, 31), (tkf_ref, 31), (tls_ref, 31)], r0, CO
+            tpos_ref, [(tprod_ref, 31), (tkf_ref, 31), (tls_ref, 31)], r0, CO,
+            nrows=FN,
         )
         h0_ref[...] += parts[0]
         h1_ref[...] += parts[1]
@@ -293,15 +295,17 @@ def _kernel(
         return
 
     # ---------------------------------------------------------- 5. resolve
+    LVN = min(16, CO)
+
     def lv_grp(g, _):
-        r0 = pl.multiple_of(g * 8, 8)
+        r0 = pl.multiple_of(g * LVN, 8)
         (lv8,) = kl.gather_rows_multi(
-            [(comp, 8)], lidx_ref, r0, pre=lambda r: r & 0xFFFF
+            [(comp, 8)], lidx_ref, r0, nrows=LVN, pre=lambda r: r & 0xFFFF
         )
-        lv_ref[pl.ds(r0, 8), :] = lv8
+        lv_ref[pl.ds(r0, LVN), :] = lv8
         return 0
 
-    jax.lax.fori_loop(0, CO // 8, lv_grp, 0)
+    jax.lax.fori_loop(0, CO // LVN, lv_grp, 0)
 
     if _cut(5, lv_ref[...]):
         return
@@ -309,7 +313,7 @@ def _kernel(
     if _cut(6, par_ref[...]):
         return
 
-    GN = min(16, CO)  # doubling-round group rows
+    GN = min(32, CO)  # doubling-round group rows
     NG = CO // GN
     BANDR = min(64, CO)  # banded-round table rows (offsets <= ~6KB resolve here)
 
@@ -376,13 +380,13 @@ def _kernel(
     lv_t = lv_ref[...]
 
     def fin_grp(g, _):
-        r0 = pl.multiple_of(g * 8, 8)
-        (out8,) = kl.gather_rows_multi([(lv_t, 8)], par_ref, r0)
-        live8 = (lidx_ref[pl.ds(r0, 8), :] >> 16) & 1
-        out_ref[0, pl.ds(r0, 8), :] = jnp.where(live8 > 0, out8, 0)
+        r0 = pl.multiple_of(g * LVN, 8)
+        (out8,) = kl.gather_rows_multi([(lv_t, 8)], par_ref, r0, nrows=LVN)
+        live8 = (lidx_ref[pl.ds(r0, LVN), :] >> 16) & 1
+        out_ref[0, pl.ds(r0, LVN), :] = jnp.where(live8 > 0, out8, 0)
         return 0
 
-    jax.lax.fori_loop(0, CO // 8, fin_grp, 0)
+    jax.lax.fori_loop(0, CO // LVN, fin_grp, 0)
 
     # ------------------------------------------------------------- status
     ev_end = jnp.where(malformed_walk, total_out, BIG)

@@ -236,14 +236,16 @@ def _kernel(
     # --------------------------------------------- fields + output starts
     ap_t = ap_ref[0:WINR, :]
     kf_t = kf_ref[...]
-    ngroups = (ntags + 8 * L - 1) // (8 * L)
+    FN = 16
+    ngroups = (ntags + FN * L - 1) // (FN * L)
 
     def fields_grp(g, _):
-        r0 = pl.multiple_of(g * 8, 8)
-        prod8, kf8 = kl.gather_rows_multi([(ap_t, 16), (kf_t, 16)], tpos_ref, r0)
-        # ls needs >16 bits (absolute); rebuild from tpos instead of gathering
-        tprod_ref[pl.ds(r0, 8), :] = prod8
-        tkf_ref[pl.ds(r0, 8), :] = kf8
+        r0 = pl.multiple_of(g * FN, 8)
+        prod8, kf8 = kl.gather_rows_multi(
+            [(ap_t, 16), (kf_t, 16)], tpos_ref, r0, nrows=FN
+        )
+        tprod_ref[pl.ds(r0, FN), :] = prod8
+        tkf_ref[pl.ds(r0, FN), :] = kf8
         return 0
 
     jax.lax.fori_loop(0, ngroups, fields_grp, 0)
@@ -253,9 +255,9 @@ def _kernel(
     lsw = jnp.clip(ls_ref[...] - babs, 0, P - 1)   # window-local literal src
 
     def ls_grp(g, _):
-        r0 = pl.multiple_of(g * 8, 8)
-        (ls8,) = kl.gather_rows_multi([(lsw, 18)], tpos_ref, r0)
-        tls_ref[pl.ds(r0, 8), :] = ls8
+        r0 = pl.multiple_of(g * FN, 8)
+        (ls8,) = kl.gather_rows_multi([(lsw, 18)], tpos_ref, r0, nrows=FN)
+        tls_ref[pl.ds(r0, FN), :] = ls8
         return 0
 
     jax.lax.fori_loop(0, ngroups, ls_grp, 0)
@@ -287,9 +289,10 @@ def _kernel(
     h2_ref[...] = zero
 
     def scat_grp(g, _):
-        r0 = pl.multiple_of(g * 8, 8)
+        r0 = pl.multiple_of(g * FN, 8)
         parts = kl.scatter_rows_multi(
-            tpos_ref, [(tprod_ref, 31), (tkf_ref, 31), (tls_ref, 31)], r0, CO
+            tpos_ref, [(tprod_ref, 31), (tkf_ref, 31), (tls_ref, 31)], r0, CO,
+            nrows=FN,
         )
         h0_ref[...] += parts[0]
         h1_ref[...] += parts[1]
@@ -334,18 +337,20 @@ def _kernel(
     )
 
     # ------------------------------------------------------------- resolve
+    LVN = 16
+
     def lv_grp(g, _):
-        r0 = pl.multiple_of(g * 8, 8)
+        r0 = pl.multiple_of(g * LVN, 8)
         (lv8,) = kl.gather_rows_multi(
-            [(comp, 8)], lidx_ref, r0, pre=lambda r: r & 0xFFFFF
+            [(comp, 8)], lidx_ref, r0, nrows=LVN, pre=lambda r: r & 0xFFFFF
         )
-        lv_ref[pl.ds(r0, 8), :] = lv8
+        lv_ref[pl.ds(r0, LVN), :] = lv8
         return 0
 
-    jax.lax.fori_loop(0, CO // 8, lv_grp, 0)
+    jax.lax.fori_loop(0, CO // LVN, lv_grp, 0)
 
     # doubling table = [history parents: frozen self-loops | segment parents]
-    GN = 16
+    GN = 32
     NG = CO // GN
     BANDR = 64
 
@@ -408,20 +413,21 @@ def _kernel(
     lv_t = lv_ref[...]
 
     def fin_grp(g, _):
-        r0 = pl.multiple_of(g * 8, 8)
-        (vh,) = kl.gather_rows_multi([(hist_t, 8)], par_ref, r0)
+        r0 = pl.multiple_of(g * LVN, 8)
+        (vh,) = kl.gather_rows_multi([(hist_t, 8)], par_ref, r0, nrows=LVN)
         (vs,) = kl.gather_rows_multi(
-            [(lv_t, 8)], par_ref, r0, pre=lambda r: jnp.clip(r - SEG, 0, SEG - 1)
+            [(lv_t, 8)], par_ref, r0, nrows=LVN,
+            pre=lambda r: jnp.clip(r - SEG, 0, SEG - 1),
         )
-        parg = par_ref[pl.ds(r0, 8), :]
-        live8 = (lidx_ref[pl.ds(r0, 8), :] >> 20) & 1
+        parg = par_ref[pl.ds(r0, LVN), :]
+        live8 = (lidx_ref[pl.ds(r0, LVN), :] >> 20) & 1
         val = jnp.where(parg < SEG, vh, vs)
         out8 = jnp.where(live8 > 0, val, 0)
-        out_ref[0, pl.ds(r0, 8), :] = out8
-        lv_ref[pl.ds(r0, 8), :] = out8          # lv becomes resolved bytes
+        out_ref[0, pl.ds(r0, LVN), :] = out8
+        lv_ref[pl.ds(r0, LVN), :] = out8        # lv becomes resolved bytes
         return 0
 
-    jax.lax.fori_loop(0, CO // 8, fin_grp, 0)
+    jax.lax.fori_loop(0, CO // LVN, fin_grp, 0)
     hist_ref[...] = lv_ref[...]                  # next segment's history
 
     @pl.when(~active_seg)
