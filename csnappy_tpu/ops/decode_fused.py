@@ -295,7 +295,7 @@ def _kernel(
         return
 
     # ---------------------------------------------------------- 5. resolve
-    LVN = min(16, CO)
+    LVN = next(n for n in (16, 8) if CO % n == 0)
 
     def lv_grp(g, _):
         r0 = pl.multiple_of(g * LVN, 8)
@@ -313,9 +313,10 @@ def _kernel(
     if _cut(6, par_ref[...]):
         return
 
-    GN = min(32, CO)  # doubling-round group rows
+    GN = next(n for n in (32, 16, 8) if CO % n == 0)  # doubling group rows
     NG = CO // GN
     BANDR = min(64, CO)  # banded-round table rows (offsets <= ~6KB resolve here)
+    assert CO % 8 == 0
 
     def band_round(rnd, _):
         def grp(g, _2):

@@ -162,3 +162,14 @@ def test_fuzz_malformed_never_crashes():
         if status == errors.E_OK:
             want = pymodel.decompress_noheader(bytes(bad), 4096)
             assert out[: len(want)].tobytes() == want
+
+
+def test_nonpow2_out_cap_rows():
+    # out_cap rounding to 5120 bytes = 40 rows: group sizes must divide the
+    # row count or trailing rows go unresolved (r2 regression)
+    rng = np.random.default_rng(12)
+    data = rng.integers(0, 256, 4196, dtype=np.uint8).tobytes()
+    frag = pymodel.compress_fragment(data)
+    out, produced, status = _decode_one(frag, 4196)
+    assert status == errors.E_OK
+    assert out[: len(data)].tobytes() == data
