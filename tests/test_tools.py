@@ -52,3 +52,24 @@ def test_movebench_runs(capsys):
     assert movebench.main(["2048"]) == 0
     out = capsys.readouterr().out
     assert out.count("elem_per_s") == 5
+
+
+def test_phaseprof_smoke(urls10k):
+    # interpret-mode smoke of the committed profiler (single phase each to
+    # keep CI fast: full pipelines only)
+    from csnappy_tpu.tools import phaseprof
+
+    rows = phaseprof.profile_decode.__wrapped__ if False else None
+    # restrict to the "full" prefix by monkeypatching the phase dicts
+    import csnappy_tpu.tools.phaseprof as pp
+
+    old_d, old_e = pp.DEC_PHASES, pp.ENC_PHASES
+    pp.DEC_PHASES = {99: "full"}
+    pp.ENC_PHASES = {99: "full"}
+    try:
+        out_d = pp.profile_decode(urls10k[:65536])
+        out_e = pp.profile_encode(urls10k[:65536])
+    finally:
+        pp.DEC_PHASES, pp.ENC_PHASES = old_d, old_e
+    assert any("GBps_full" in r for r in out_d)
+    assert any("MBps_full" in r for r in out_e)
