@@ -93,3 +93,38 @@ def test_overrun_multisegment(urls10k):
 
 def test_api_wholestream_routes_fast_path(urls10k, urls10k_snappy):
     assert api.decompress(urls10k_snappy) == urls10k
+
+
+def test_fuzz_multisegment_vs_oracle():
+    rng = np.random.default_rng(77)
+    for trial in range(4):
+        pieces = []
+        n = 0
+        while n < 90000:
+            kind = int(rng.integers(0, 3))
+            m = int(rng.integers(500, 8000))
+            if kind == 0:
+                pieces.append(rng.integers(0, 256, m, dtype=np.uint8).tobytes())
+            elif kind == 1:
+                pieces.append(bytes([int(rng.integers(97, 100))]) * m)  # RLE
+            else:
+                pieces.append((b"lorem ipsum dolor sit amet " * (m // 27 + 1))[:m])
+            n += m
+        data = b"".join(pieces)[:90000 + trial * 7]
+        stream = pymodel.compress(data)
+        ulen, hdr = wire.varint_decode(stream)
+        out, produced, status = _dec(stream[hdr:], ulen)
+        assert status == errors.E_OK, trial
+        assert out.tobytes() == data, trial
+
+
+def test_fuzz_encoder_stream_through_stream_decoder(urls10k):
+    # fused encoder output through the segmented decoder (cross-kernel)
+    from csnappy_tpu.ops import encode_fused
+
+    data = urls10k[:100000]
+    stream = encode_fused.compress_np(data)
+    ulen, hdr = wire.varint_decode(stream)
+    out, produced, status = _dec(stream[hdr:], ulen)
+    assert status == errors.E_OK
+    assert out.tobytes() == data
