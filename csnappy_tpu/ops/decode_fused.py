@@ -334,7 +334,7 @@ def _kernel(
             # seed the full-round flags from the last band round: a group
             # is future-active iff something changed or a parent is still
             # out of band (in-band + unchanged == stable forever)
-            @pl.when(rnd == 1)
+            @pl.when(rnd == 2)
             def _():
                 gflags[g] = jnp.sum(((~in_band) | (upd != parg)).astype(jnp.int32))
 
@@ -344,7 +344,7 @@ def _kernel(
         return 0
 
     if CO > GN:  # cheap near-offset rounds before the full-table rounds
-        jax.lax.fori_loop(0, 2, band_round, 0)
+        jax.lax.fori_loop(0, 3, band_round, 0)
     else:
         def ginit(g, _):
             gflags[g] = 1

@@ -368,7 +368,7 @@ def _kernel(
             upd = jnp.where(in_band, newg, parg)
             par_ref[pl.ds(r0, GN), :] = upd
 
-            @pl.when(rnd == 1)
+            @pl.when(rnd == 2)
             def _():
                 unresolved = (parg >= SEG) & (~in_band)
                 gflags[g] = jnp.sum((unresolved | (upd != parg)).astype(jnp.int32))
@@ -378,7 +378,7 @@ def _kernel(
         jax.lax.fori_loop(0, NG, grp, 0)
         return 0
 
-    jax.lax.fori_loop(0, 2, band_round, 0)
+    jax.lax.fori_loop(0, 3, band_round, 0)
 
     def global_round(c):
         k, _ch = c
