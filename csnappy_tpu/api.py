@@ -112,6 +112,11 @@ def decompress_noheader(src: bytes, dst_len: int, backend: str | None = None,
         return native.decompress_noheader(src, dst_len)
     from .errors import E_DATA_MALFORMED as _EDM
 
+    if dst_len == 0:
+        # ADVICE r2: the block kernel's output limit is its buffer capacity
+        # (>= 1 row), so dst_len=0 could return one produced byte as E_OK
+        # instead of E_OUTPUT_OVERRUN — the oracle handles the empty case
+        return pymodel.decompress_noheader(src, 0)
     if dst_len <= wire.BLOCK_SIZE:
         # single-fragment streams ride the fused block decoder (VERDICT r1
         # weak #2: the public decode path must use the fast kernel)

@@ -192,6 +192,10 @@ def _kernel(
         p, t, tc, err_w, done, _ = jax.lax.fori_loop(
             0, trips, inner, (p, t, tc, err_w, done, jnp.int32(0))
         )
+        # ADVICE r2: when the final tag lands p exactly on slen as t hits
+        # TMAX, trips is 0 and no inner iteration observes at_end — a legal
+        # stream would spin to the round bound and report E_DATA_MALFORMED
+        done = done | jnp.where(p == slen, 1, 0)
         return p, t, tc, wb2, err_w, done, rounds + 1
 
     z = jnp.int32(0)

@@ -217,6 +217,9 @@ def _kernel(
         p, osv, t, tc, done, _ = jax.lax.fori_loop(
             0, trips, inner, (p, osv, t, tc, done, jnp.int32(0))
         )
+        # ADVICE r2: a segment whose final tag fills TMAX exactly leaves
+        # trips == 0 with at_end unobserved — spot the clean end here
+        done = done | jnp.where((p == slen) | (osv >= seg_end), 1, 0)
         return p, osv, t, tc, wb2, done, rounds + 1
 
     z = jnp.int32(0)

@@ -133,9 +133,11 @@ def decompress_fragments_sharded(
     n_dev = mesh.devices.size
     nb = len(frags)
     out_cap = max(out_lens) if out_lens else 1
-    out_cap = (out_cap + 127) // 128 * 128
+    # round to whole 1024-element row groups: the fused decode kernel picks
+    # gather group sizes that require CO = out_cap/128 % 8 == 0 (ADVICE r2)
+    out_cap = (out_cap + 1023) // 1024 * 1024
     width = max(len(f) for f in frags) if frags else 1
-    width = (width + 127) // 128 * 128
+    width = (width + 1023) // 1024 * 1024
     B = _pad_batch(max(nb, 1), n_dev)
     batch = np.zeros((B, width), np.uint8)
     clens = np.zeros((B,), np.int32)
