@@ -2,10 +2,15 @@
 
 PY ?= python
 
-.PHONY: test native cl_test selftest bench block_test clean
+.PHONY: test hwtest native cl_test selftest bench block_test clean
 
 test:
 	$(PY) -m pytest tests/ -q
+
+# conformance smoke on the REAL chip, non-interpret (<2 min warm): catches
+# bf16/int8 limb regressions that interpreter-mode CI cannot see
+hwtest:
+	$(PY) tools/hwtest.py
 
 native:
 	$(MAKE) -C csrc

@@ -27,7 +27,8 @@ from dataclasses import dataclass, field
 class CodecConfig:
     block_size: int = 32768        # fragment size; ≤ 32768, multiple of 1024
     page_size: int = 4096          # block-container page size (zram parity)
-    hash_bits: int = 16            # candidate hash width, 10..16
+    hash_bits: int = 16            # candidate hash width, 10..16 (py/native
+                                   # models; the fused sort matcher is exact)
     backend: str = "jax"           # jax | py | native
     mesh_axis: str = "blocks"      # data-parallel axis name for mesh paths
     debug_checks: bool = field(

@@ -15,22 +15,26 @@ Round-3 architecture (VERDICT r2 #1).  Per 32 KiB block:
                tag N's start depends on tag N-1's length); the scalar unit
                walks the whole pair table resident in SMEM (no windowing,
                no stall logic — walks measured ~12-17ns/step whole-table vs
-               ~50ns windowed, mosaic_probe3).  Invalid/end positions hold
-               0 so the walk self-terminates; errors are judged after.
-  3. fields  — per-tag produced/islit/field via batched one-hot MXU gathers.
-  4. cover   — tag output starts by triangular-matmul add-scan (exact to
-               2^31); per-output-byte covering tag via TWO packed one-hot
-               scatters + banded running-max fills (row rounds sized by the
-               actual max span, guarded continuation for rare multi-KB
-               literals) — the scatter-free analog of char_table dispatch
-               (csnappy_decompress.c:152-185).
-  5. resolve — copy chains: in-row pointer doubling via native lane
-               dynamic_gather rounds (~0.25µs per whole-table round; kills
-               RLE, the IncrementalCopy analog, csnappy_decompress.c:200-254),
-               near-row rounds (parents within 8 rows via shifted lane
-               gathers), then adaptive global pointer-doubling rounds via
-               MXU one-hot gathers with per-group convergence skipping;
-               literal bytes fetched once from the source stream.
+               ~50ns windowed, mosaic_probe3), storing ONE position per
+               step (partner positions are reconstructed densely later).
+               Invalid/end positions hold 0 so the walk self-terminates;
+               errors are judged after.
+  3. fields  — per-tag produced/islit/field via batched one-hot MXU
+               gathers, as TWO tag streams per step (stored + partner).
+  4. cover   — joint output starts for both streams by triangular-matmul
+               add-scan (exact to 2^31); per-output-byte covering tag via
+               packed one-hot scatters + banded running-max fills (row
+               rounds sized by the actual max span, guarded continuation
+               for rare multi-KB literals) — the scatter-free analog of
+               char_table dispatch (csnappy_decompress.c:152-185).
+  5. resolve — sequential-group value resolution: output produced in 4 KiB
+               row groups, in order (copies only reference earlier output,
+               csnappy_decompress.c:302).  Per group: native in-row
+               lane-gather path halving (RLE / IncrementalCopy analog,
+               csnappy_decompress.c:200-254), adaptive local MXU doubling
+               on the 32-row slice, then ONE 8-bit value gather from the
+               resolved output prefix that also materializes the group's
+               final bytes.
 
 Error contract identical to the reference (csnappy.h:124-129), with
 sequentially-exact priority between E_DATA_MALFORMED and E_OUTPUT_OVERRUN
@@ -56,7 +60,6 @@ L = 128
 TBUF = 16         # retained for stream-decoder imports
 CHUNK = 256       # walk steps per outer round (end checked between chunks)
 BIG = 1 << 24     # "never" event position
-GLOBAL_MAX = 17   # global pointer-doubling rounds cap (2^16 >= any chain)
 PAIR_MAX_ADV = 31  # first-tag advance cap for pair-table entries
 
 
@@ -72,20 +75,27 @@ def _kernel(
     slen_ref, dlim_ref, comp_ref,                   # inputs
     out_ref, meta_ref,                              # outputs
     tp_ref, tf_ref, pt_ref,                         # dense parse scratch (CI, L)
-    tpos_ref, tprod_ref, tfld_ref,                  # compact tag scratch (TROWS, L)
+    tpos_ref, tpos2_ref,                            # step/partner positions (TROWS, L)
+    tp1_ref, tf1_ref, tp2_ref, tf2_ref,             # two-stream tag fields (TROWS, L)
     h1_ref, h2_ref,                                 # cover scratch (CO, L)
-    par_ref, lv_ref, lidx_ref,                      # resolve scratch (CO, L)
-    pt_smem, tag_smem, gflags, sem,                 # SMEM + DMA
+    par_ref, lidx_ref,                              # resolve scratch (CO, L)
+    big_ref,                                        # [comp; out] value table (CI+CO, L)
+    pt_smem, tag_smem, sem,                         # SMEM + DMA
     *, CI: int, CO: int, phases: int = 99,
 ):
     def _cut(n, *vals):
         """Static profiling knob: stop after phase n, consuming its results
-        (so the measured phase cannot be dead-code-eliminated)."""
+        (so the measured phase cannot be dead-code-eliminated).  Consumes
+        only a slice of each value — a dot/gather materializes its whole
+        tile, so slicing defeats DCE without paying a full-array reduction
+        that would distort the phase timing."""
         if phases != n:
             return False
         acc = jnp.int32(0)
         for v in vals:
-            acc = acc + jnp.sum(jnp.asarray(v).astype(jnp.int32))
+            a = jnp.asarray(v).astype(jnp.int32)
+            a = a[: min(8, a.shape[0])] if a.ndim >= 1 else a
+            acc = acc + jnp.sum(a)
         meta_ref[b, 0] = acc
         meta_ref[b, 1] = jnp.int32(0)
         out_ref[0, 0:8, :] = jnp.zeros((8, L), jnp.int32) + acc
@@ -175,18 +185,18 @@ def _kernel(
             # P-1 parses invalid), so the clamped read self-terminates
             pc = jnp.minimum(p, P - 1)
             v = pt_smem[pc >> 7, pc & (L - 1)]
-            a = _srl(v, 17) & 31
+            # single store per step: the partner tag position (p + first-tag
+            # advance, when paired) is reconstructed densely in the fields
+            # phase from the pair table — halves the serial store traffic
             tag_smem[tc >> 7, tc & (L - 1)] = p
-            t2i = tc + 1
-            tag_smem[t2i >> 7, t2i & (L - 1)] = p + a
-            tc = tc + (v != 0).astype(jnp.int32) + (a != 0).astype(jnp.int32)
+            tc = tc + (v != 0).astype(jnp.int32)
             return p + (v & 0x1FFFF), tc
 
         p, tc = jax.lax.fori_loop(0, CHUNK, step, (p0, tc0))
         return rounds + 1, p, tc, jnp.where((p == slen) | (p == p0), 1, 0)
 
     z = jnp.int32(0)
-    _r, p_f, ntags, _d = jax.lax.while_loop(outer_cond, outer_body, (z, z, z, z))
+    _r, p_f, nsteps, _d = jax.lax.while_loop(outer_cond, outer_body, (z, z, z, z))
     malformed_walk = p_f != slen
 
     # tag_smem carries 8 spare rows: the final step's stores can land one
@@ -195,45 +205,67 @@ def _kernel(
     cpt.start()
     cpt.wait()
 
-    if _cut(2, p_f, ntags, tpos_ref[...]):
+    if _cut(2, p_f, nsteps, tpos_ref[...]):
         return
 
     # ----------------------------------------------------------- 3. fields
+    # two tag streams per walk step: A at the stored position, B at the
+    # reconstructed partner position (advance from the pair table; B is an
+    # empty tag when the step was unpaired)
     FN = 16
-    ngroups = (ntags + FN * L - 1) // (FN * L)
+    ngroups = (nsteps + FN * L - 1) // (FN * L)
     tp_t = tp_ref[...]
     tf_t = tf_ref[...]
+    adv1_t = _srl(pt_ref[...], 17) & 31
 
     def fields_grp(g, _):
         r0 = pl.multiple_of(g * FN, 8)
-        tpg, tfg = kl.gather_rows_multi(
-            [(tp_t, 17), (tf_t, 16)], tpos_ref, r0, nrows=FN
+        tpg, tfg, ag = kl.gather_rows_multi(
+            [(tp_t, 17), (tf_t, 16), (adv1_t, 5)], tpos_ref, r0, nrows=FN
         )
-        tprod_ref[pl.ds(r0, FN), :] = tpg
-        tfld_ref[pl.ds(r0, FN), :] = tfg
+        tp1_ref[pl.ds(r0, FN), :] = tpg
+        tf1_ref[pl.ds(r0, FN), :] = tfg
+        posg = tpos_ref[pl.ds(r0, FN), :]
+        tpos2_ref[pl.ds(r0, FN), :] = posg + ag
+        tpg2, tfg2 = kl.gather_rows_multi(
+            [(tp_t, 17), (tf_t, 16)], tpos2_ref, r0, nrows=FN
+        )
+        paired = ag > 0
+        tp2_ref[pl.ds(r0, FN), :] = jnp.where(paired, tpg2, 0)
+        tf2_ref[pl.ds(r0, FN), :] = jnp.where(paired, tfg2, 0)
         return 0
 
     jax.lax.fori_loop(0, ngroups, fields_grp, 0)
 
-    if _cut(3, tprod_ref[...], tfld_ref[...]):
+    if _cut(3, tp1_ref[...], tf1_ref[...], tp2_ref[...], tf2_ref[...]):
         return
 
     # ------------------------------------------------------------ 4. cover
-    tagm = kl.row_iota(TROWS) < ntags
-    tpv = tprod_ref[...]
-    prod_t = jnp.where(tagm, tpv & 0xFFFF, 0)
-    islit_t = _srl(tpv, 16) & 1
-    fld_t = tfld_ref[...]
-    tin = kl.scan2d_tril(prod_t, bits=31)
-    tose = tin - prod_t
-    total_out = jnp.max(jnp.where(tagm, tin, 0))
-    overrun = jnp.any(tagm & (tin > dlim))
-    live_tag = tagm & (tose < OCL)
-    key = tose + 1
-    maxprod = jnp.max(jnp.where(live_tag, prod_t, 0))
-    tpos_ref[...] = jnp.where(live_tag, tose, -1)            # reused: spos
-    tprod_ref[...] = (key << 15) | (fld_t & 0x7FFF)          # reused: s1
-    tfld_ref[...] = (key << 15) | ((_srl(fld_t, 15) & 1) << 1) | islit_t  # s2
+    stepm = kl.row_iota(TROWS) < nsteps
+    tp1v, tp2v = tp1_ref[...], tp2_ref[...]
+    prod1 = jnp.where(stepm, tp1v & 0xFFFF, 0)
+    prod2 = jnp.where(stepm, tp2v & 0xFFFF, 0)
+    islit1 = _srl(tp1v, 16) & 1
+    islit2 = _srl(tp2v, 16) & 1
+    fld1, fld2 = tf1_ref[...], tf2_ref[...]
+    pp = prod1 + prod2
+    S = kl.scan2d_tril(pp, bits=31)
+    excl = S - pp
+    tose1 = excl
+    tose2 = excl + prod1
+    total_out = jnp.max(jnp.where(stepm, S, 0))
+    overrun = jnp.any(stepm & (((excl + prod1 > dlim) & (prod1 > 0)) | (S > dlim)))
+    live1 = stepm & (tose1 < OCL) & (prod1 > 0)
+    live2 = stepm & (tose2 < OCL) & (prod2 > 0)
+    key1 = tose1 + 1
+    key2 = tose2 + 1
+    maxprod = jnp.max(jnp.where(stepm, jnp.maximum(prod1, prod2), 0))
+    tpos_ref[...] = jnp.where(live1, tose1, -1)               # reused: sposA
+    tpos2_ref[...] = jnp.where(live2, tose2, -1)              # reused: sposB
+    tp1_ref[...] = (key1 << 15) | (fld1 & 0x7FFF)             # s1A
+    tf1_ref[...] = (key1 << 15) | ((_srl(fld1, 15) & 1) << 1) | islit1  # s2A
+    tp2_ref[...] = (key2 << 15) | (fld2 & 0x7FFF)             # s1B
+    tf2_ref[...] = (key2 << 15) | ((_srl(fld2, 15) & 1) << 1) | islit2  # s2B
 
     zero = jnp.zeros((CO, L), jnp.int32)
     h1_ref[...] = zero
@@ -241,11 +273,14 @@ def _kernel(
 
     def scat_grp(g, _):
         r0 = pl.multiple_of(g * FN, 8)
-        parts = kl.scatter_rows_multi(
-            tpos_ref, [(tprod_ref, 31), (tfld_ref, 31)], r0, CO, nrows=FN,
+        pa = kl.scatter_rows_multi(
+            tpos_ref, [(tp1_ref, 31), (tf1_ref, 31)], r0, CO, nrows=FN,
         )
-        h1_ref[...] += parts[0]
-        h2_ref[...] += parts[1]
+        pb = kl.scatter_rows_multi(
+            tpos2_ref, [(tp2_ref, 31), (tf2_ref, 31)], r0, CO, nrows=FN,
+        )
+        h1_ref[...] += pa[0] + pb[0]
+        h2_ref[...] += pa[1] + pb[1]
         return 0
 
     jax.lax.fori_loop(0, ngroups, scat_grp, 0)
@@ -279,105 +314,98 @@ def _kernel(
     is_copy = live & ~islit_o
     copy_err = is_copy & ((fld_o == 0) | (fld_o > t_os))
     ev_copy = jnp.min(jnp.where(copy_err, o, BIG))
-    parent = jnp.where(is_copy & ~copy_err, o - fld_o, o)
-    par_ref[...] = jnp.clip(parent, 0, OCL - 1)
+    # combined-table parent index: literals point straight at their source
+    # byte in the compressed stream (rows < CI of [comp; out]), copies at
+    # their source output byte (CI*L + o - off) — so the per-group value
+    # gather serves literals and copies from ONE table and no separate
+    # literal-value phase is needed
     lidx = jnp.clip(fld_o + (o - t_os), 0, P - 1)
-    lidx_ref[...] = lidx | (live.astype(jnp.int32) << 16)
+    parent = jnp.where(
+        is_copy & ~copy_err,
+        jnp.clip(o - fld_o, 0, OCL - 1) + CI * L,
+        jnp.where(islit_o & live, lidx, o + CI * L),
+    )
+    par_ref[...] = parent
+    lidx_ref[...] = live.astype(jnp.int32) << 16
 
     if _cut(4, par_ref[...], lidx_ref[...], total_out):
         return
 
-    # --------------------------------------------------------------- 5. lv
-    LVN = next(n for n in (16, 8) if CO % n == 0)
+    # ---------------------------------------------------------- 5. resolve
+    # sequential-group value resolution: output rows are produced in 32-row
+    # (4 KiB) groups, in order.  Copies only ever reference EARLIER output
+    # (off <= written, csnappy_decompress.c:302), so when group g runs, all
+    # parents below it hold final bytes.  Per group: native in-row
+    # lane-gather path-halving (kills RLE chains, the IncrementalCopy
+    # analog), adaptive local MXU doubling on the 32-row slice (1/8th the
+    # dot cost of full-table rounds), then ONE 8-bit value gather from the
+    # [comp; resolved-output-prefix] table that also materializes the
+    # group's final bytes — replacing the near/global/lv/final phases of
+    # the round-2 design.
+    RG = next(n for n in (32, 16, 8) if CO % n == 0)
+    NRG = CO // RG
+    LOCAL_MAX = 14  # adaptive cap: log2 worst-case chain inside a 4KB group
+    par_bits = ((CI + CO) * L - 1).bit_length()  # static: 16 for 32K blocks
+    big_ref[pl.ds(0, CI), :] = comp
 
-    def lv_grp(g, _):
-        r0 = pl.multiple_of(g * LVN, 8)
-        (lv8,) = kl.gather_rows_multi(
-            [(comp, 8)], lidx_ref, r0, nrows=LVN, pre=lambda r: r & 0xFFFF
+    def resolve_grp(r0, _):
+        base = (CI + r0) * L
+        # static prefix bound: parents only ever point below the group's
+        # end, so gathers read a growing prefix of [comp; out] — early
+        # groups pay for far fewer table rows
+        PR = CI + r0 + RG
+        lrow = jax.lax.broadcasted_iota(jnp.int32, (RG, L), 0)
+        arow = lrow + CI + r0
+        parg = par_ref[pl.ds(r0, RG), :]
+        # in-row path halving (native lane gathers); the MXU rounds below
+        # also collapse in-row parents, so these are just an accelerator
+        for _i in range(4):
+            nxt = kl.lane_gather(parg, parg & (L - 1))
+            parg = jnp.where(_srl(parg, 7) == arow, nxt, parg)
+        par_ref[pl.ds(r0, RG), :] = parg
+
+        def lround():
+            cur = par_ref[pl.ds(r0, RG), :]
+            (gath,) = kl.gather_rows_multi(
+                [(cur, par_bits), ], par_ref, r0, nrows=RG,
+                pre=lambda r: r - base,
+            )
+            new = jnp.where(cur >= base, gath, cur)
+            par_ref[pl.ds(r0, RG), :] = new
+            return new, cur
+
+        # local doubling: collapse in-group chains until every parent is
+        # below the group or a comp-side literal source.  Three fixed
+        # rounds cover typical depth (chains2 analysis); the convergence
+        # reduction runs ONCE, and the adaptive rescue loop only fires on
+        # pathological (adversarial RLE-like) groups
+        for _i in range(3):
+            lround()
+        new, cur = lround()
+
+        def rcond(c):
+            return (c[1] > 0) & (c[0] < LOCAL_MAX)
+
+        def rbody(c):
+            k, _ch = c
+            n2, c2 = lround()
+            return k + 1, jnp.sum((n2 != c2).astype(jnp.int32))
+
+        jax.lax.while_loop(
+            rcond, rbody, (jnp.int32(0), jnp.sum((new != cur).astype(jnp.int32)))
         )
-        lv_ref[pl.ds(r0, LVN), :] = lv8
+
+        live8 = _srl(lidx_ref[pl.ds(r0, RG), :], 16) & 1
+        (val8,) = kl.gather_rows_multi(
+            [(big_ref[0:PR, :], 8)], par_ref, r0, nrows=RG
+        )
+        fin8 = jnp.where(live8 > 0, val8, 0)
+        big_ref[pl.ds(CI + r0, RG), :] = fin8
+        out_ref[0, pl.ds(r0, RG), :] = fin8
         return 0
 
-    jax.lax.fori_loop(0, CO // LVN, lv_grp, 0)
-
-    if _cut(5, lv_ref[...]):
-        return
-
-    # ---------------------------------------------------------- 6. resolve
-    orow = _srl(o, 7)
-
-    def inrow_rounds(par, n):
-        for _ in range(n):
-            nxt = kl.lane_gather(par, par & (L - 1))
-            par = jnp.where(_srl(par, 7) == orow, nxt, par)
-        return par
-
-    def near_round(par):
-        # parents 1..8 rows back via shifted lane gathers
-        new = par
-        pr = _srl(par, 7)
-        pl_lane = par & (L - 1)
-        for dw in range(1, min(9, CO)):
-            cand = kl.lane_gather(kl.row_shift_down(par, dw, fill=0), pl_lane)
-            new = jnp.where(orow - pr == dw, cand, new)
-        return new
-
-    par = par_ref[...]
-    par = inrow_rounds(par, 4)
-    par = near_round(par)
-    par = inrow_rounds(par, 2)
-    par = near_round(par)
-    par = inrow_rounds(par, 2)
-    par_ref[...] = par
-
-    if _cut(6, par_ref[...]):
-        return
-
-    GN = next(n for n in (32, 16, 8) if CO % n == 0)  # doubling group rows
-    NG = CO // GN
-
-    def ginit(g, _):
-        gflags[g] = 1
-        return 0
-
-    jax.lax.fori_loop(0, NG, ginit, 0)
-
-    def global_round(c):
-        k, _ch = c
-        par_t = par_ref[...]  # Jacobi: this round reads round-k values
-
-        def grp(g, ch):
-            # a group whose parents were all stable last round points only
-            # at roots (roots never move) — skip it forever
-            @pl.when(gflags[g] > 0)
-            def _():
-                r0 = pl.multiple_of(g * GN, 8)
-                parg = par_ref[pl.ds(r0, GN), :]
-                (newg,) = kl.gather_rows_multi([(par_t, 15)], par_ref, r0, nrows=GN)
-                par_ref[pl.ds(r0, GN), :] = newg
-                gflags[g] = jnp.sum((newg != parg).astype(jnp.int32))
-
-            return ch + gflags[g]
-
-        return k + 1, jax.lax.fori_loop(0, NG, grp, 0)
-
-    jax.lax.while_loop(
-        lambda c: (c[1] > 0) & (c[0] < GLOBAL_MAX), global_round, (z, jnp.int32(1))
-    )
-
-    if _cut(7, par_ref[...]):
-        return
-
-    lv_t = lv_ref[...]
-
-    def fin_grp(g, _):
-        r0 = pl.multiple_of(g * LVN, 8)
-        (out8,) = kl.gather_rows_multi([(lv_t, 8)], par_ref, r0, nrows=LVN)
-        live8 = _srl(lidx_ref[pl.ds(r0, LVN), :], 16) & 1
-        out_ref[0, pl.ds(r0, LVN), :] = jnp.where(live8 > 0, out8, 0)
-        return 0
-
-    jax.lax.fori_loop(0, CO // LVN, fin_grp, 0)
+    for _g in range(NRG):          # unrolled: static prefix sizes per group
+        resolve_grp(_g * RG, 0)
 
     # ------------------------------------------------------------- status
     ev_end = jnp.where(malformed_walk, total_out, BIG)
@@ -390,7 +418,7 @@ def _kernel(
     produced = jnp.where(status == E_OK, total_out, 0)
     meta_ref[b, 0] = produced
     meta_ref[b, 1] = status
-    meta_ref[b, 2] = ntags
+    meta_ref[b, 2] = nsteps
     meta_ref[b, 3] = total_out
     meta_ref[b, 4] = jnp.int32(0)
     meta_ref[b, 5] = jnp.int32(0)
@@ -426,17 +454,19 @@ def _compiled(B: int, CI: int, CO: int, phases: int = 99):
                 pltpu.VMEM((CI, L), i32),           # tp
                 pltpu.VMEM((CI, L), i32),           # tf
                 pltpu.VMEM((CI, L), i32),           # pt
-                pltpu.VMEM((TROWS, L), i32),        # tpos
-                pltpu.VMEM((TROWS, L), i32),        # tprod
-                pltpu.VMEM((TROWS, L), i32),        # tfld
+                pltpu.VMEM((TROWS, L), i32),        # tpos (step positions)
+                pltpu.VMEM((TROWS, L), i32),        # tpos2 (partner positions)
+                pltpu.VMEM((TROWS, L), i32),        # tp1
+                pltpu.VMEM((TROWS, L), i32),        # tf1
+                pltpu.VMEM((TROWS, L), i32),        # tp2
+                pltpu.VMEM((TROWS, L), i32),        # tf2
                 pltpu.VMEM((CO, L), i32),           # h1
                 pltpu.VMEM((CO, L), i32),           # h2
                 pltpu.VMEM((CO, L), i32),           # par
-                pltpu.VMEM((CO, L), i32),           # lv
-                pltpu.VMEM((CO, L), i32),           # lidx
+                pltpu.VMEM((CO, L), i32),           # lidx (live bits)
+                pltpu.VMEM((CI + CO, L), i32),      # big: [comp; out] values
                 pltpu.SMEM((CI, L), i32),           # pair walk table
-                pltpu.SMEM((TROWS + 8, L), i32),    # tag buffer (+spare rows)
-                pltpu.SMEM((32,), i32),             # doubling group flags
+                pltpu.SMEM((TROWS + 8, L), i32),    # step buffer (+spare rows)
                 pltpu.SemaphoreType.DMA,
             ],
             compiler_params=pltpu.CompilerParams(

@@ -1,5 +1,11 @@
 """Parallel Snappy decoder — XLA/jnp backend.
 
+FALLBACK/ORACLE ONLY: the shipping decode path is the fused Pallas kernel
+(`decode_fused` for blocks, `decode_stream` for whole streams); this module
+serves only api.decompress_noheader's general-envelope fallback for
+exotic-but-legal streams the fast path rejects (offsets > 32767, tag
+advances > 64 KiB) and as a slow reference formulation.
+
 The reference decoder (csnappy_decompress.c:319-387) is a strictly sequential
 tag loop: tag N's byte position depends on every prior tag's length, and
 overlapping back-references are resolved byte-at-a-time.  On TPU both chains

@@ -1,32 +1,40 @@
-"""Fused TPU block encoder — sort-based match finding + scalar greedy walk.
+"""Fused TPU block encoder — dense successor precomputation + slim walk.
 
-Round 1's encoder rode XLA scatter/gather formulations that serialize on
-TPU (VERDICT r1: 0.8 MB/s).  This design splits the work by hardware unit:
+Round-3 architecture (VERDICT r2 #2).  Round 2 proved the sort-based exact
+match index but ran a ~100-cycle/step SMEM state machine for the greedy
+commit chain (~90% of encode time).  This design makes the commit chain's
+successor function a PRECOMPUTED dense table, so the serial walk is the
+same slim load/store chain-following as the decoder's:
 
-  1. candidates (XLA, dense): hash every 4-byte window with the reference
-     multiplier (csnappy_compress.c:228-232) and sort (hash<<15 | pos) keys
-     — each position's sorted predecessor with equal hash IS its most
-     recent prior occurrence.  This replaces the reference's lossy 2^16
-     hash table (csnappy_compress.c:501,535-551) with an exact
-     most-recent-match index; any match source is format-conformant
-     (csnappy_compress.c:221-227).
-  2. kernel: un-sort the candidate list with one-hot MXU scatters; compute
-     next-candidate jump targets (suffix-min scan) so literal stretches
-     cost O(1) walk steps, the vector analog of the reference's skip>>5
-     literal acceleration (csnappy_compress.c:535-551).
-  3. greedy walk (scalar unit + SMEM): the commit chain is sequential by
-     nature (FindMatchLength + "jump len" greediness,
-     csnappy_compress.c:469-606); a SCAN/EXTEND state machine walks it with
-     the whole block resident in SMEM as packed LE words, extending matches
-     word-at-a-time with the trailing-equal-bytes trick (the vector dual of
-     FindMatchLength's ctz, csnappy_compress.c:252-295).  Emits compact
-     (pos, len, off, is_match) tags, 64-byte chunked like EmitCopy
-     (csnappy_compress.c:395-415).
-  4. emission (dense): per-tag sizes -> output offsets by MXU add-scan;
-     covering-tag map by one-hot scatter + running-max fill; every output
-     byte computes its value densely (EmitLiteral/EmitCopyLessThan64 rules,
-     csnappy_compress.c:332-415), with one one-hot gather for literal
-     payload bytes.
+  1. candidates (XLA, dense): stable-sort every position by its FULL
+     4-byte window (w, pos) — each position's sorted predecessor with an
+     equal window IS its most recent prior occurrence, exactly, with no
+     hash and no verification gather.  Replaces the reference's lossy 2^16
+     hash table (csnappy_compress.c:501,535-551, multiplier :228-232); any
+     match source is format-conformant (csnappy_compress.c:221-227).
+     Sorts and the suffix scans (chain floor, next-candidate) ride XLA,
+     where they are near-free; gathers stay in-kernel on the MXU (XLA TPU
+     gathers measured 100x slower, tools/mosaic_probe3c).
+  2. dense match lengths (VPU/MXU): candidate chains give a floor —
+     consecutive chains (cand[p+1]==cand[p]+1) prove 4+run matching bytes
+     with no byte comparisons; two MXU gather rounds extend by up to 4+8
+     more bytes (the vector FindMatchLength, csnappy_compress.c:252-295),
+     the second fetching two shifted copies of w at shared indices so the
+     one-hot construction is paid once.  Longer matches commit short —
+     still a conformant stream — for ~1% ratio vs exhaustive greedy while
+     keeping the serial walk entirely branchless.
+  3. dense successors: succ(p) = nextc(p + ml[p]) composes through literal
+     gaps (the vector analog of the skip>>5 literal acceleration,
+     csnappy_compress.c:535-551), so every walk step lands on a commit;
+     adjacent commits fuse into one entry (2 commits per serial step).
+  4. walk (scalar + SMEM): decode-grade branchless chain following over
+     the precomputed entry table at ~15ns/step, storing ONE position per
+     step.
+  5. emission (dense): literal gaps derived from consecutive commit ends;
+     four parallel record streams (litA/copyA/litB/copyB) sized, offset by
+     triangular-matmul add-scan, scattered (EmitLiteral/EmitCopy rules,
+     csnappy_compress.c:332-415), and valued per output byte with one
+     payload gather.
 
 Grammar guarantees: COPY_1 iff len<12 & offset<2048, no COPY_4, no
 cross-block offsets, output <= 32 + n + n/6 (csnappy_compress.c:612-616).
@@ -46,15 +54,13 @@ from . import kernel_lib as kl
 from . import primitives as prim
 
 L = 128
-MAXW = 16         # SMEM walk-stream window rows (2 KiB of positions)
-TBUF = 8          # SMEM tag buffer rows (1024 tags per flush)
-INNER = 512       # walk steps per outer round
+INNER = 256       # walk steps per outer round (end checked between rounds)
 NOCAND = 0x7FFF   # candidate sentinel
-NONEXT = 0xFFFF   # next-candidate sentinel
 
 
 def _trows(BS: int) -> int:
-    return ((BS // 2 + TBUF * L - 1) // (TBUF * L)) * TBUF
+    # walk steps <= commits (>=4 output bytes each) + rare jumps + 1
+    return (BS // 4 // L + 15) // 8 * 8
 
 
 def _ocr(BS: int) -> int:
@@ -65,14 +71,24 @@ def _srl(x, k):
     return jax.lax.shift_right_logical(x, k)
 
 
+def _bounded_gather(table, dist, bits_fill=0):
+    """y[flat p] = table[flat p + dist[p]] for 0 <= dist <= 191 (parent at
+    most one row ahead): two native lane gathers + select."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, table.shape, 1)
+    q = (lane + dist) & (L - 1)
+    g0 = kl.lane_gather(table, q)
+    g1 = kl.lane_gather(kl.row_shift_up(table, 1, fill=bits_fill), q)
+    return jnp.where((lane + dist) >> 7 == 0, g0, g1)
+
+
 def _kernel(
-    blen_ref, data_ref, w_ref, spos_ref, scand_ref,      # inputs
+    blen_ref, data_ref, w_ref, in1_ref, nc_ref,          # inputs
     comp_ref, meta_ref,                                  # outputs
-    cand_ref, wst_ref, wpk_ref,                          # dense scratch
-    t1_ref, t2_ref, spq_ref, sp1_ref, sp2_ref, sp3_ref,  # tag scratch
-    h1_ref, h2_ref, h3_ref, vals_ref, lidx_ref,          # emission scratch
-    sps_ref, scs_ref,                                    # sorted-input copies
-    dpk_smem, wwin_smem, tb1_smem, tb2_smem, wsm, sem,   # SMEM + DMA
+    ml_ref, wtab_ref, aux_ref,                           # dense scratch (BR, L)
+    tpos_ref, tpos2_ref, m1_ref, o1_ref, m2_ref, o2_ref, # step fields (TR, L)
+    sq_ref, s1_ref, s2_ref, s3_ref,                      # scatter stage (TR, L)
+    h1_ref, h2_ref, h3_ref, vals_ref, lidx_ref,          # emission (OCR, L)
+    w_smem, tag_smem, sem,                               # SMEM + DMA
     *, BR: int, OCR: int, phases: int = 99,
 ):
     def _cut(n, *vals):
@@ -80,387 +96,286 @@ def _kernel(
             return False
         acc = jnp.int32(0)
         for v in vals:
-            acc = acc + jnp.sum(jnp.asarray(v).astype(jnp.int32))
+            a = jnp.asarray(v).astype(jnp.int32)
+            a = a[: min(8, a.shape[0])] if a.ndim >= 1 else a
+            acc = acc + jnp.sum(a)
         meta_ref[b, 0] = acc
         meta_ref[b, 1] = jnp.int32(0)
         comp_ref[0, 0:8, :] = jnp.zeros((8, L), jnp.int32) + acc
         return True
+
     BS, OCAP = BR * L, OCR * L
-    BRW = BS // 4 // L                                   # packed-word rows
-    BRP = BR + MAXW
     TR = _trows(BS)
-    TMAX = TR * L
-    MAX_ROUNDS = 4 * BS // INNER + TR // TBUF + 32
+    # steps = commits (<= BS/4, each >= 4 output bytes) + jumps (only after
+    # EXT commits, <= commits) + 1 — bound generously, converged walks exit
+    # via the p-stuck check long before this
+    MAX_ROUNDS = BS // 2 // INNER + 8
     b = pl.program_id(0)
     blen = blen_ref[b]
     data = data_ref[0]
     w = w_ref[0]
     pos = kl.row_iota(BR)
 
-    # -------------------------------------------------- un-sort candidates
-    sps_ref[...] = spos_ref[0]
-    scs_ref[...] = scand_ref[0]
-    cand_ref[...] = jnp.zeros((BR, L), jnp.int32)
+    # dense inputs from XLA prep (sorts and cummins are near-free there;
+    # gathers are NOT — those stay in-kernel on the MXU):
+    #   in1 = cand (0-14) | ml0 (15-21, chain-floor length) | has (22)
+    #   nc  = next candidate position >= p (BS sentinel = none)
+    in1 = in1_ref[0]
+    cand = in1 & 0x7FFF
+    ml0 = _srl(in1, 15) & 0x7F
+    has = (_srl(in1, 22) & 1) > 0
+    nc = nc_ref[0]
 
-    def unsort_grp(g, _):
-        r0 = pl.multiple_of(g * 8, 8)
-        (part,) = kl.scatter_rows_multi(sps_ref, [(scs_ref, 16)], r0, BR)
-        cand_ref[...] += part
-        return 0
-
-    jax.lax.fori_loop(0, BR // 8, unsort_grp, 0)
-
-    if _cut(1, cand_ref[...]):
+    if _cut(1, in1):
         return
 
-    # ---------------------------- dense candidate verification (MXU gather)
-    # one gather of w[cand] refutes hash collisions up front, so the walk
-    # never burns iterations on false candidates (FindMatchLength's 4-byte
-    # entry check, csnappy_compress.c:539-551, done for every position at once)
+    # ------------------------------------- dense match lengths + successors
+    cap = jnp.clip(blen - pos, 0, wire.MAX_COPY_LEN)
+
+    def teq_v(x):
+        return jnp.where(
+            x == 0, 4,
+            ((x & 0xFF) == 0).astype(jnp.int32)
+            + ((x & 0xFFFF) == 0).astype(jnp.int32)
+            + ((x & 0xFFFFFF) == 0).astype(jnp.int32),
+        )
+
+    # one dense extension round: 4 more bytes via one MXU gather + XOR
+    # (the vector FindMatchLength entry, csnappy_compress.c:252-295)
+    wp = _bounded_gather(w, ml0)
+    aux_ref[...] = jnp.clip(cand + ml0, 0, BS - 1)
     VN = min(16, BR)
 
-    def ver_grp(g, _):
+    def ext_grp(g, _):
         r0 = pl.multiple_of(g * VN, 8)
-        (wc,) = kl.gather_rows_multi(
-            [(w, 32)], cand_ref, r0, nrows=VN,
-            pre=lambda r: jnp.clip(r, 0, BS - 1),
-        )
-        candg = cand_ref[pl.ds(r0, VN), :]
-        wrow = w_ref[0, pl.ds(r0, VN), :]
-        ok = (candg != NOCAND) & (wc == wrow)
-        cand_ref[pl.ds(r0, VN), :] = jnp.where(ok, candg, NOCAND)
+        (wcx,) = kl.gather_rows_multi([(w, 32)], aux_ref, r0, nrows=VN)
+        aux_ref[pl.ds(r0, VN), :] = wcx
         return 0
 
-    jax.lax.fori_loop(0, BR // VN, ver_grp, 0)
+    jax.lax.fori_loop(0, BR // VN, ext_grp, 0)
+    e = teq_v(wp ^ aux_ref[...])
+    grow = has & (ml0 < cap)
+    ml = jnp.where(grow, jnp.minimum(ml0 + e, cap), ml0)
+    extb = grow & (e >= 4) & (ml < cap)
 
-    # ------------------------------------------- next-candidate jump table
-    cand = cand_ref[...]
-    has = (cand != NOCAND) & (pos + 4 <= blen) & (cand < pos)
-    v = jnp.where(has, pos, NONEXT)
-    nc = kl.flip2d(
-        kl.scan2d_mm(kl.flip2d(v, 16), "min", bits=16, fill=NONEXT), 16
-    )
-    wst_ref[0:BR, :] = jnp.where(has, cand, NOCAND) | (nc << 16)
-    wst_ref[BR:BRP, :] = jnp.full((MAXW, L), NOCAND | (NONEXT << 16), jnp.int32)
+    # second dense extension round: 8 more bytes via ONE shared-index
+    # two-table gather (w and w-shifted-by-4 fetched at the same indices,
+    # so the one-hot construction is paid once and only the cheap limb
+    # dots double).  Extensions beyond 4+8 commit short — still a valid
+    # stream (any length <= the true match conforms) at ~1% ratio cost,
+    # and the serial walk needs NO extension logic at all.
+    w4 = kl.stream_shift_up_mm(w, 4, bits=32)
+    wp1 = _bounded_gather(w, ml)
+    wp2 = _bounded_gather(w4, ml)
+    aux_ref[...] = jnp.clip(cand + ml, 0, BS - 1)
 
-    if _cut(2, wst_ref[...]):
+    def ext2_grp(g, _):
+        r0 = pl.multiple_of(g * VN, 8)
+        wc1, wc2 = kl.gather_rows_multi(
+            [(w, 32), (w4, 32)], aux_ref, r0, nrows=VN
+        )
+        aux_ref[pl.ds(r0, VN), :] = wc1
+        wtab_ref[pl.ds(r0, VN), :] = wc2
+        return 0
+
+    jax.lax.fori_loop(0, BR // VN, ext2_grp, 0)
+    x1 = wp1 ^ aux_ref[...]
+    x2 = wp2 ^ wtab_ref[...]
+    e2 = jnp.where(x1 != 0, teq_v(x1), 4 + teq_v(x2))
+    ml = jnp.where(extb, jnp.minimum(ml + e2, cap), ml)
+    ml_ref[...] = jnp.where(has, ml, 0)
+
+    # successors composed through literal gaps so every walk step lands on
+    # a commit (the vector analog of the skip>>5 literal acceleration)
+    nextc = jnp.where(has, pos, nc)
+    succ = _bounded_gather(nextc, ml, bits_fill=BS)
+    succ = jnp.where(pos + ml >= BS, BS, succ)
+    d1 = jnp.where(succ < BS, succ - pos, 0)
+    # partner lookup for pair fusion (both commits retire in one walk step)
+    Ep = _bounded_gather(d1, jnp.where((d1 >= 1) & (d1 <= 127), d1, 0))
+    pd = Ep & 0xFFFF
+    paired = has & (d1 >= 1) & (d1 <= 127)
+    d2 = jnp.where(pd > 0, d1 + pd, BS - pos)
+    # walk entry layout (fully branchless, like the decoder's):
+    #   bit30 = store flag (commit entries store their position)
+    #   bits 23-29 = paired partner delta d1 (0 when unpaired)
+    #   bits 0-16 = advance (next entry position, pre-baked: pair skip,
+    #               literal-gap jump, or off-the-end for the last commit)
+    STORE = 1 << 30
+    adv_un = jnp.where(d1 > 0, d1, BS - pos)
+    w_has = jnp.where(paired, STORE | (d1 << 23) | d2, STORE | adv_un)
+    w_nohas = jnp.where(nc < BS, nc - pos, 0)
+    wtab_ref[...] = jnp.where(has, w_has, w_nohas)
+    cpw = pltpu.make_async_copy(wtab_ref, w_smem, sem)
+    cpw.start()
+    cpw.wait()
+
+    if _cut(2, wtab_ref[...], ml_ref[...]):
         return
 
-    # --------------------------------- pack LE words 4-per-int32 into SMEM
-    # packed[flat k] = w[4k]: row-stride-4 pick (Rq) + lane-stride-4 place
-    # (Mq), moved as 8-bit limbs (TPU dots round inputs to bf16; limbs are
-    # exact, and limb extraction/reassembly is sign-correct for full int32)
-    ri = jax.lax.broadcasted_iota(jnp.int32, (BRW, BR), 0)
-    rj = jax.lax.broadcasted_iota(jnp.int32, (BRW, BR), 1)
-    mi = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
-    mj = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    packed = jnp.zeros((BRW, L), jnp.int32)
-    for q in range(4):
-        Rq = (rj == 4 * ri + q).astype(jnp.float32)      # (BRW, BR)
-        Mq = (
-            (mj >= 32 * q) & (mj < 32 * (q + 1)) & (mi == 4 * (mj - 32 * q))
-        ).astype(jnp.float32)                            # (L, L)
-        rows = kl.perm_apply(w, Rq, 32, left=True)       # (BRW, L)
-        packed = packed | kl.perm_apply(rows, Mq, 32)
-    wpk_ref[...] = packed
-    cpd = pltpu.make_async_copy(wpk_ref, dpk_smem, sem)
-    cpd.start()
-    cpd.wait()
-
-    if _cut(3, wpk_ref[...]):
+    if _cut(3, wtab_ref[...]):
         return
 
     # --------------------------------------------------------- greedy walk
-    # State lives in SMEM cells so each mode runs as a pl.when-specialized
-    # branch (only the active mode's ops execute per iteration; the
-    # everything-both-ways formulation measured ~95 cycles/step).
-    S_P, S_LITS, S_T, S_TC, S_MODE, S_MS, S_MC, S_J, S_DONE, S_STALL, S_FL, S_WB = range(12)
-    for cell in range(12):
-        wsm[cell] = 0
-
-    cp0 = pltpu.make_async_copy(wst_ref.at[0:MAXW], wwin_smem, sem)
-    cp0.start()
-    cp0.wait()
-
-    def w_at(idx):
-        """LE 4-byte word at byte index idx, from packed SMEM words."""
-        k = jnp.clip(idx >> 2, 0, BRW * L - 1)
-        r = idx & 3
-        k2 = jnp.minimum(k + 1, BRW * L - 1)
-        a = dpk_smem[k >> 7, k & (L - 1)]
-        c = dpk_smem[k2 >> 7, k2 & (L - 1)]
-        comb = _srl(a, 8 * r) | jax.lax.shift_left(c, (32 - 8 * r) & 31)
-        return jnp.where(r == 0, a, comb)
-
-    def _flush():
-        tc = wsm[S_TC]
-        frows = tc >> 7
-        tail = tc & (L - 1)
-
-        @pl.when(frows > 0)
-        def _():
-            dst = wsm[S_FL] >> 7
-            c1 = pltpu.make_async_copy(tb1_smem, t1_ref.at[pl.ds(dst, TBUF)], sem)
-            c1.start()
-            c1.wait()
-            c2 = pltpu.make_async_copy(tb2_smem, t2_ref.at[pl.ds(dst, TBUF)], sem)
-            c2.start()
-            c2.wait()
-            wsm[S_FL] = wsm[S_FL] + frows * L
-
-            def mv(i, _):
-                @pl.when(i < tail)
-                def _():
-                    src_r = jnp.minimum(frows, TBUF - 1)
-                    tb1_smem[0, i] = tb1_smem[src_r, i]
-                    tb2_smem[0, i] = tb2_smem[src_r, i]
-                return 0
-
-            jax.lax.fori_loop(0, L, mv, 0)
-            wsm[S_TC] = tail
 
     def outer_cond(c):
-        return (c[1] == 0) & (c[0] < MAX_ROUNDS)
+        return (c[3] == 0) & (c[2] < MAX_ROUNDS)
 
     def outer_body(c):
-        rounds, _done = c
+        p0, tc0, rounds, _done = c
 
-        @pl.when(wsm[S_TC] >= TBUF * L - 1)
-        def _():
-            _flush()
+        def step(i, c2):
+            # decode-grade branchless chain following: one load, one store,
+            # store-bit advance (match extension was resolved densely, so
+            # entries carry exact pre-baked advances)
+            p, tc = c2
+            pc = jnp.minimum(p, BS - 1)
+            v = w_smem[pc >> 7, pc & (L - 1)]
+            tag_smem[tc >> 7, tc & (L - 1)] = p
+            tc = tc + (_srl(v, 30) & 1)
+            p = p + (v & 0x1FFFF)
+            return p, tc
 
-        p0 = wsm[S_P]
-        iw0 = p0 - wsm[S_WB] * L
-        needw = (iw0 < 0) | (iw0 >= MAXW * L)
-
-        @pl.when(needw)
-        def _():
-            wb2 = jnp.minimum(p0 >> 7, BRP - MAXW)
-            wsm[S_WB] = wb2
-            cw = pltpu.make_async_copy(wst_ref.at[pl.ds(wb2, MAXW)], wwin_smem, sem)
-            cw.start()
-            cw.wait()
-
-        wsm[S_STALL] = 0
-        wb2 = wsm[S_WB]
-
-        def inner(i, _):
-            act = (wsm[S_DONE] == 0) & (wsm[S_STALL] == 0)
-            mode = wsm[S_MODE]
-
-            @pl.when(act & (mode == 0))
-            def _scan():
-                p = wsm[S_P]
-                at_end = p >= blen
-
-                @pl.when(at_end)
-                def _():
-                    lits = wsm[S_LITS]
-                    tc = wsm[S_TC]
-                    pend = lits < blen
-
-                    @pl.when(pend & (tc < TBUF * L))
-                    def _():
-                        tb1_smem[tc >> 7, tc & (L - 1)] = lits | ((blen - lits) << 15)
-                        tb2_smem[tc >> 7, tc & (L - 1)] = 0
-                        wsm[S_TC] = tc + 1
-                        wsm[S_T] = wsm[S_T] + 1
-                        wsm[S_DONE] = 1
-
-                    @pl.when(pend & (tc >= TBUF * L))
-                    def _():
-                        wsm[S_STALL] = 1
-
-                    @pl.when(~pend)
-                    def _():
-                        wsm[S_DONE] = 1
-
-                iw = p - wb2 * L
-                inwin = (iw >= 0) & (iw < MAXW * L)
-
-                @pl.when(~at_end & ~inwin)
-                def _():
-                    wsm[S_STALL] = 1
-
-                @pl.when(~at_end & inwin)
-                def _():
-                    iwc = jnp.clip(iw, 0, MAXW * L - 1)
-                    v = wwin_smem[iwc >> 7, iwc & (L - 1)]
-                    cand = v & 0xFFFF
-                    nc = _srl(v, 16) & 0xFFFF
-
-                    @pl.when(cand == NOCAND)
-                    def _():
-                        wsm[S_P] = jnp.clip(jnp.maximum(nc, p + 1), 0, blen)
-
-                    @pl.when(cand != NOCAND)
-                    def _():
-                        # pre-verified: first 4 bytes are known equal
-                        wsm[S_MODE] = 1
-                        wsm[S_MS] = p
-                        wsm[S_MC] = cand
-                        wsm[S_J] = 4
-
-            @pl.when(act & (mode == 1))
-            def _extend():
-                ms = wsm[S_MS]
-                mc = wsm[S_MC]
-                j = wsm[S_J]
-                rem = blen - ms
-                mlmax = jnp.minimum(rem, wire.MAX_COPY_LEN)
-                x1 = w_at(ms + j) ^ w_at(mc + j)
-                x2 = w_at(ms + j + 4) ^ w_at(mc + j + 4)
-                x3 = w_at(ms + j + 8) ^ w_at(mc + j + 8)
-                x4 = w_at(ms + j + 12) ^ w_at(mc + j + 12)
-                allz = (x1 == 0) & (x2 == 0) & (x3 == 0) & (x4 == 0)
-                cont = allz & (j + 16 < mlmax)
-
-                @pl.when(cont)
-                def _():
-                    wsm[S_J] = j + 16
-
-                @pl.when(~cont)
-                def _():
-                    def teq(x):
-                        return jnp.where(
-                            x == 0, 4,
-                            ((x & 0xFF) == 0).astype(jnp.int32)
-                            + ((x & 0xFFFF) == 0).astype(jnp.int32)
-                            + ((x & 0xFFFFFF) == 0).astype(jnp.int32),
-                        )
-
-                    run = jnp.where(
-                        x1 != 0, teq(x1),
-                        4 + jnp.where(
-                            x2 != 0, teq(x2),
-                            4 + jnp.where(x3 != 0, teq(x3), 4 + teq(x4)),
-                        ),
-                    )
-                    ml = jnp.minimum(j + run, mlmax)
-                    good = ml >= wire.MIN_MATCH
-
-                    @pl.when(~good)
-                    def _():
-                        wsm[S_MODE] = 0  # failed continuation; rescan at p
-
-                    @pl.when(good)
-                    def _():
-                        tc = wsm[S_TC]
-
-                        @pl.when(tc + 2 > TBUF * L)
-                        def _():
-                            wsm[S_STALL] = 1
-
-                        @pl.when(tc + 2 <= TBUF * L)
-                        def _():
-                            lits = wsm[S_LITS]
-                            needlit = (lits < ms).astype(jnp.int32)
-
-                            @pl.when(needlit > 0)
-                            def _():
-                                tb1_smem[tc >> 7, tc & (L - 1)] = lits | ((ms - lits) << 15)
-                                tb2_smem[tc >> 7, tc & (L - 1)] = 0
-
-                            tc1 = tc + needlit
-                            tb1_smem[tc1 >> 7, tc1 & (L - 1)] = (
-                                ms | (ml << 15) | jnp.int32(-(2**31))
-                            )
-                            tb2_smem[tc1 >> 7, tc1 & (L - 1)] = ms - mc
-                            wsm[S_TC] = tc1 + 1
-                            wsm[S_T] = wsm[S_T] + needlit + 1
-                            p2 = ms + ml
-                            wsm[S_P] = p2
-                            wsm[S_LITS] = p2
-                            longer = (ml == wire.MAX_COPY_LEN) & (rem > wire.MAX_COPY_LEN)
-
-                            @pl.when(longer)
-                            def _():
-                                wsm[S_MS] = ms + wire.MAX_COPY_LEN
-                                wsm[S_MC] = mc + wire.MAX_COPY_LEN
-                                wsm[S_J] = 0
-
-                            @pl.when(~longer)
-                            def _():
-                                wsm[S_MODE] = 0
-
-            return 0
-
-        jax.lax.fori_loop(0, INNER, inner, 0)
-        return rounds + 1, wsm[S_DONE]
+        p1, tc1 = jax.lax.fori_loop(0, INNER, step, (p0, tc0))
+        return p1, tc1, rounds + 1, jnp.where((p1 >= blen) | (p1 == p0), 1, 0)
 
     z = jnp.int32(0)
-    jax.lax.while_loop(outer_cond, outer_body, (z, z))
-    _flush()
+    p_f, tcf, _rf, done_f = jax.lax.while_loop(
+        outer_cond, outer_body, (z, z, z, z)
+    )
+    # every entry type advances p except END, so a stuck p IS the clean
+    # end; fail only when the round bound ran out mid-walk
+    fail = jnp.where(done_f > 0, 0, 1)
+    # virtual trailing slot at blen: its dense ml/d1 are 0, so emission
+    # derives the trailing literal (csnappy_compress.c:600-605) densely
+    tag_smem[tcf >> 7, tcf & (L - 1)] = blen
+    nsteps = tcf + 1
 
-    @pl.when(wsm[S_TC] > 0)
-    def _():
-        dst = wsm[S_FL] >> 7
-        c1 = pltpu.make_async_copy(tb1_smem, t1_ref.at[pl.ds(dst, TBUF)], sem)
-        c1.start()
-        c1.wait()
-        c2 = pltpu.make_async_copy(tb2_smem, t2_ref.at[pl.ds(dst, TBUF)], sem)
-        c2.start()
-        c2.wait()
+    cpt = pltpu.make_async_copy(tag_smem.at[0:TR], tpos_ref, sem)
+    cpt.start()
+    cpt.wait()
 
-    ntags = wsm[S_T]
-    done_f = wsm[S_DONE]
-
-    if _cut(4, ntags, t1_ref[...], t2_ref[...]):
+    if _cut(4, nsteps, tpos_ref[...]):
         return
 
-    # ------------------------------------------------------------ emission
-    ti = kl.row_iota(TR) < ntags
-    t1v = t1_ref[0:TR, :]
-    ism = _srl(t1v, 31)
-    pos_t = t1v & 0x7FFF
-    len_t = _srl(t1v, 15) & 0xFFFF
-    off_t = t2_ref[0:TR, :]
-    rl1 = jnp.maximum(len_t - 1, 0)
-    extra_t = jnp.where(rl1 < 60, 0, jnp.where(rl1 < 256, 1, 2)) * (1 - ism)
-    use_c1 = (ism == 1) & (len_t <= wire.COPY1_MAX_LEN) & (off_t < wire.COPY1_MAX_OFFSET)
-    sz = jnp.where(
-        ism == 1, jnp.where(use_c1, 2, 3), 1 + extra_t + len_t
-    )
-    sz = jnp.where(ti, sz, 0)
-    incl = kl.scan2d_mm(sz, "add", bits=16)
-    comp_len = jnp.max(incl)
-    ooff = incl - sz
+    # ------------------------------------------------------------- fields
+    FN = 16
+    ngroups = (nsteps + FN * L - 1) // (FN * L)
+    mlT = ml_ref[...]
+    candT = jnp.where(cand == NOCAND, 0, cand)
+    wt = wtab_ref[...]
+    d1T = _srl(wt, 23) & 0x7F
 
-    key = ooff + 1
-    spq_ref[...] = jnp.where(ti & (ooff < OCAP), ooff, -1)
-    sp1_ref[...] = (key << 15) | pos_t
-    sp2_ref[...] = (key << 15) | (jnp.where(ism == 1, off_t, rl1) & 0x7FFF)
-    sp3_ref[...] = (
-        (key << 15) | ism | (use_c1.astype(jnp.int32) << 1)
-        | ((len_t & 0x7F) << 2) | (extra_t << 9)
-    )
-    if _cut(5, spq_ref[...], sp1_ref[...], sp2_ref[...], sp3_ref[...], comp_len):
+    def fields_grp(g, _):
+        r0 = pl.multiple_of(g * FN, 8)
+        posA = tpos_ref[pl.ds(r0, FN), :]
+        mlA, cg, d1q = kl.gather_rows_multi(
+            [(mlT, 7), (candT, 15), (d1T, 7)], tpos_ref, r0, nrows=FN,
+        )
+        tpos2_ref[pl.ds(r0, FN), :] = posA + d1q
+        m1_ref[pl.ds(r0, FN), :] = mlA
+        o1_ref[pl.ds(r0, FN), :] = posA - cg
+        mlg2, cg2 = kl.gather_rows_multi(
+            [(mlT, 7), (candT, 15)], tpos2_ref, r0, nrows=FN,
+        )
+        m2_ref[pl.ds(r0, FN), :] = jnp.where(d1q > 0, mlg2, 0)
+        o2_ref[pl.ds(r0, FN), :] = posA + d1q - cg2
+        return 0
+
+    jax.lax.fori_loop(0, ngroups, fields_grp, 0)
+
+    if _cut(5, m1_ref[...], o1_ref[...], m2_ref[...], o2_ref[...]):
         return
 
+    # ---------------------------------------- literal gaps, sizes, offsets
+    stepm = kl.row_iota(TR) < nsteps
+    posA = jnp.where(stepm, tpos_ref[...], 0)
+    posB = jnp.where(stepm, tpos2_ref[...], 0)
+    mlA = jnp.where(stepm, m1_ref[...], 0)
+    mlB = jnp.where(stepm, m2_ref[...], 0)
+    offA = o1_ref[...]
+    offB = o2_ref[...]
+    endA = posA + mlA
+    endB = jnp.where(mlB > 0, posB + mlB, endA)
+    prevEnd = kl.stream_shift_down_mm(jnp.where(stepm, endB, 0), 1, bits=17)
+    litA = jnp.where(stepm, jnp.maximum(posA - prevEnd, 0), 0)
+    litB = jnp.where(stepm & (mlB > 0), posB - endA, 0)
+
+    def lit_sz(lit):
+        rl = jnp.maximum(lit - 1, 0)
+        extra = jnp.where(rl < 60, 0, jnp.where(rl < 256, 1, 2))
+        return jnp.where(lit > 0, 1 + extra + lit, 0), rl, extra
+
+    szLA, rlA, exA = lit_sz(litA)
+    szLB, rlB, exB = lit_sz(litB)
+    c1A = (mlA <= wire.COPY1_MAX_LEN) & (offA < wire.COPY1_MAX_OFFSET)
+    c1B = (mlB <= wire.COPY1_MAX_LEN) & (offB < wire.COPY1_MAX_OFFSET)
+    szCA = jnp.where(mlA > 0, jnp.where(c1A, 2, 3), 0)
+    szCB = jnp.where(mlB > 0, jnp.where(c1B, 2, 3), 0)
+    pp = szLA + szCA + szLB + szCB
+    S = kl.scan2d_tril(pp, bits=18)
+    excl = S - pp
+    comp_len = jnp.max(jnp.where(stepm, S, 0))
+    oLA = excl
+    oCA = oLA + szLA
+    oLB = oCA + szCA
+    oCB = oLB + szLB
+
+    if _cut(6, S, comp_len):
+        return
+
+    # ------------------------------------------------- scatter 4 streams
     zero = jnp.zeros((OCR, L), jnp.int32)
     h1_ref[...] = zero
     h2_ref[...] = zero
     h3_ref[...] = zero
-    ngroups = (ntags + 8 * L - 1) // (8 * L)
 
-    def scat_grp(g, _):
-        r0 = pl.multiple_of(g * 8, 8)
-        parts = kl.scatter_rows_multi(
-            spq_ref, [(sp1_ref, 31), (sp2_ref, 31), (sp3_ref, 31)], r0, OCR
-        )
-        h1_ref[...] += parts[0]
-        h2_ref[...] += parts[1]
-        h3_ref[...] += parts[2]
-        return 0
+    streams = [
+        # (offset, size, is_copy, src/aux fields)
+        (oLA, szLA, None, prevEnd, rlA, exA),
+        (oCA, szCA, (mlA, offA, c1A), None, None, None),
+        (oLB, szLB, None, endA, rlB, exB),
+        (oCB, szCB, (mlB, offB, c1B), None, None, None),
+    ]
+    for off_o, sz, copyf, src, rl, exn in streams:
+        key = off_o + 1
+        sq_ref[...] = jnp.where(stepm & (sz > 0) & (off_o < OCAP), off_o, -1)
+        if copyf is None:
+            s1 = (key << 15) | (src & 0x7FFF)
+            s2 = (key << 15) | (rl & 0x7FFF)
+            s3 = (key << 15) | (exn << 9)
+        else:
+            cml, coff, cc1 = copyf
+            s1 = (key << 15)
+            s2 = (key << 15) | (coff & 0x7FFF)
+            s3 = (
+                (key << 15) | 1 | (cc1.astype(jnp.int32) << 1)
+                | ((cml & 0x7F) << 2)
+            )
+        s1_ref[...] = s1
+        s2_ref[...] = s2
+        s3_ref[...] = s3
 
-    jax.lax.fori_loop(0, ngroups, scat_grp, 0)
+        def scat_grp(g, _):
+            r0 = pl.multiple_of(g * FN, 8)
+            parts = kl.scatter_rows_multi(
+                sq_ref, [(s1_ref, 31), (s2_ref, 31), (s3_ref, 31)],
+                r0, OCR, nrows=FN,
+            )
+            h1_ref[...] += parts[0]
+            h2_ref[...] += parts[1]
+            h3_ref[...] += parts[2]
+            return 0
+
+        jax.lax.fori_loop(0, ngroups, scat_grp, 0)
 
     H1 = kl.scan2d_mm(h1_ref[...], "max", bits=31)
     H2 = kl.scan2d_mm(h2_ref[...], "max", bits=31)
     H3 = kl.scan2d_mm(h3_ref[...], "max", bits=31)
-    if _cut(6, H1, H2, H3):
+    if _cut(7, H1, H2, H3):
         return
 
+    # ---------------------------------------------------------- valuation
     o = kl.row_iota(OCR)
     key0 = _srl(H1, 15)
     valid = key0 >= 1
@@ -505,39 +420,64 @@ def _kernel(
     jax.lax.fori_loop(0, OCR // 8, fin_grp, 0)
 
     meta_ref[b, 0] = comp_len
-    meta_ref[b, 1] = jnp.where(done_f > 0, 0, 1)   # 1 = walk bound exhausted
-    meta_ref[b, 2] = ntags
+    meta_ref[b, 1] = fail
+    meta_ref[b, 2] = nsteps
 
 
 @functools.lru_cache(maxsize=16)
 def _compiled(B: int, BR: int, hash_bits: int = 16, phases: int = 99):
+    # hash_bits is accepted for API/config parity but unused by the exact
+    # full-window sort matcher (py/native models still honor it)
     BS = BR * L
     OCR = _ocr(BS)
     TR = _trows(BS)
-    BRP = BR + MAXW
-    BRW = BS // 4 // L
     kern = functools.partial(_kernel, BR=BR, OCR=OCR, phases=phases)
     i32 = jnp.int32
 
     def run(data, blens):
-        # dense prep + exact most-recent-match candidates via sort (XLA)
+        # dense prep in XLA: sorts and cumulative scans are near-free on
+        # TPU (xla_dense_probe: sort 15us/blk, cummin ~0) while XLA
+        # gathers are 100x worse than in-kernel MXU one-hot gathers — so
+        # everything except the w[cand+ml] extension gather lives here.
         flat = data.reshape(B, BS)
         z = jnp.zeros((B, 4), i32)
-        ext = jnp.concatenate([flat, z], axis=1)
+        extz = jnp.concatenate([flat, z], axis=1)
         w = (
             flat
-            | (ext[:, 1 : BS + 1] << 8)
-            | (ext[:, 2 : BS + 2] << 16)
-            | (ext[:, 3 : BS + 3] << 24)
+            | (extz[:, 1 : BS + 1] << 8)
+            | (extz[:, 2 : BS + 2] << 16)
+            | (extz[:, 3 : BS + 3] << 24)
         )
-        h = _srl(w * np.int32(wire.HASH_MULTIPLIER), 32 - hash_bits)
-        posf = jnp.arange(BS, dtype=i32)[None, :]
-        keys = (h << 15) | posf
-        sk = jnp.sort(keys, axis=1)
-        prevk = jnp.concatenate([jnp.full((B, 1), -1, i32), sk[:, :-1]], axis=1)
-        same = _srl(sk, 15) == _srl(prevk, 15)
-        spos = sk & 0x7FFF
-        scand = jnp.where(same, prevk & 0x7FFF, NOCAND)
+        posf = jnp.broadcast_to(jnp.arange(BS, dtype=i32)[None, :], (B, BS))
+        # exact most-recent-match: stable sort by the FULL 4-byte window
+        # (signed order still groups equal windows; stability keeps
+        # positions ascending) — no hash, no verification gather needed
+        ws, ps = jax.lax.sort((w, posf), dimension=1, is_stable=True, num_keys=1)
+        same = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.bool_), ws[:, 1:] == ws[:, :-1]], axis=1
+        )
+        scand = jnp.where(same, jnp.roll(ps, 1, axis=1), NOCAND)
+        # un-sort via a second, single-key packed sort (pos 15 bits << 16 |
+        # cand 16 bits fits one int32; beats 32 in-kernel scatter calls)
+        cand = jnp.sort((ps << 16) | scand, axis=1) & 0xFFFF
+        blc = blens[:, None]
+        has = (cand != NOCAND) & (posf + 4 <= blc) & (cand < posf)
+        # chain floor: consecutive candidate chains prove matching bytes
+        # with no byte comparisons (cand[p+1]==cand[p]+1 extends the exact
+        # 4-byte match at p by one byte, inductively)
+        candn = jnp.concatenate([cand[:, 1:], jnp.full((B, 1), NOCAND, i32)], axis=1)
+        hasn = jnp.concatenate([has[:, 1:], jnp.zeros((B, 1), jnp.bool_)], axis=1)
+        consec = has & hasn & (candn == cand + 1)
+        brk = jnp.where(consec, BS, posf)
+        nb = jax.lax.cummin(brk, axis=1, reverse=True)
+        cap = jnp.clip(blc - posf, 0, wire.MAX_COPY_LEN)
+        ml0 = jnp.minimum(wire.MIN_MATCH + (nb - posf), cap)
+        in1 = (
+            jnp.where(has, cand, NOCAND)
+            | (jnp.where(has, ml0, 0) << 15)
+            | (has.astype(i32) << 22)
+        )
+        nc = jax.lax.cummin(jnp.where(has, posf, BS), axis=1, reverse=True)
 
         comp, meta = pl.pallas_call(
             kern,
@@ -558,27 +498,26 @@ def _compiled(B: int, BR: int, hash_bits: int = 16, phases: int = 99):
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((BR, L), i32),            # cand
-                pltpu.VMEM((BRP, L), i32),           # wst
-                pltpu.VMEM((BRW, L), i32),           # wpk
-                pltpu.VMEM((TR + TBUF, L), i32),     # t1 (+flush slack)
-                pltpu.VMEM((TR + TBUF, L), i32),     # t2 (+flush slack)
-                pltpu.VMEM((TR, L), i32),            # spq
-                pltpu.VMEM((TR, L), i32),            # sp1
-                pltpu.VMEM((TR, L), i32),            # sp2
-                pltpu.VMEM((TR, L), i32),            # sp3
+                pltpu.VMEM((BR, L), i32),            # ml
+                pltpu.VMEM((BR, L), i32),            # wtab
+                pltpu.VMEM((BR, L), i32),            # aux
+                pltpu.VMEM((TR, L), i32),            # tpos
+                pltpu.VMEM((TR, L), i32),            # tpos2
+                pltpu.VMEM((TR, L), i32),            # m1
+                pltpu.VMEM((TR, L), i32),            # o1
+                pltpu.VMEM((TR, L), i32),            # m2
+                pltpu.VMEM((TR, L), i32),            # o2
+                pltpu.VMEM((TR, L), i32),            # sq
+                pltpu.VMEM((TR, L), i32),            # s1
+                pltpu.VMEM((TR, L), i32),            # s2
+                pltpu.VMEM((TR, L), i32),            # s3
                 pltpu.VMEM((OCR, L), i32),           # h1
                 pltpu.VMEM((OCR, L), i32),           # h2
                 pltpu.VMEM((OCR, L), i32),           # h3
                 pltpu.VMEM((OCR, L), i32),           # vals
                 pltpu.VMEM((OCR, L), i32),           # lidx
-                pltpu.VMEM((BR, L), i32),            # sps copy
-                pltpu.VMEM((BR, L), i32),            # scs copy
-                pltpu.SMEM((BRW, L), i32),           # packed words
-                pltpu.SMEM((MAXW, L), i32),          # walk-stream window
-                pltpu.SMEM((TBUF, L), i32),          # tag buffer 1
-                pltpu.SMEM((TBUF, L), i32),          # tag buffer 2
-                pltpu.SMEM((16,), i32),              # walk state cells
+                pltpu.SMEM((BR, L), i32),            # walk entry table
+                pltpu.SMEM((TR + 8, L), i32),        # step buffer (+spare)
                 pltpu.SemaphoreType.DMA,
             ],
             compiler_params=pltpu.CompilerParams(
@@ -586,7 +525,7 @@ def _compiled(B: int, BR: int, hash_bits: int = 16, phases: int = 99):
             ),
             interpret=prim.interpret_mode(),
         )(blens, data.reshape(B, BR, L), w.reshape(B, BR, L),
-          spos.reshape(B, BR, L), scand.reshape(B, BR, L))
+          in1.reshape(B, BR, L), nc.reshape(B, BR, L))
         return comp, meta
 
     return jax.jit(run)
@@ -635,9 +574,19 @@ def compress_np(data: bytes | np.ndarray, block_size: int = wire.BLOCK_SIZE,
     blens = np.full((nb,), BS, np.int32)
     blens[-1] = n - (nb - 1) * BS
     comp, lens = encode_blocks(padded, blens, hash_bits)
-    for i in range(nb):
-        out += comp[i, : lens[i]].tobytes()
+    out += _compact(comp, lens)
     return bytes(out)
+
+
+def _compact(comp: np.ndarray, lens: np.ndarray) -> bytes:
+    """Host-leg ragged assembly: native memcpy compactor when built
+    (csnappy_host_compact, csrc), Python loop otherwise."""
+    try:
+        from ..runtime import native
+
+        return native.compact(comp, lens)
+    except Exception:
+        return b"".join(comp[i, : lens[i]].tobytes() for i in range(len(lens)))
 
 
 prim.register_trace_cache(_compiled)

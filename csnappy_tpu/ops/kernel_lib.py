@@ -256,6 +256,15 @@ def stream_shift_up_mm(x: jnp.ndarray, d: int, bits: int = 31) -> jnp.ndarray:
     return cur + nxt  # disjoint non-zero lanes
 
 
+def stream_shift_down_mm(x: jnp.ndarray, d: int, bits: int = 31) -> jnp.ndarray:
+    """y[flat i] = x[flat i - d] (zero fill), 0 <= d < L, via MXU shifts."""
+    if d == 0:
+        return x
+    cur = lane_shift_down(x, d, bits)
+    prv = lane_shift_up(row_shift_down(x, 1), L - d, bits)
+    return cur + prv  # disjoint non-zero lanes
+
+
 def scan2d_mm(x: jnp.ndarray, op: str = "max", bits: int = 31, fill=None) -> jnp.ndarray:
     """Inclusive row-major scan of (R, L) int32 using MXU shifts.
 
@@ -408,7 +417,7 @@ def gather_rows_multi(tables_bits, idx_ref, r0, nrows: int = 8, pre=None):
     E = nrows * L
     idxb = jnp.clip(_widen_rows(idx_ref, r0, nrows, R, pre), 0, R * L - 1)  # (R, E)
     q = jax.lax.broadcasted_iota(jnp.int32, (R, E), 0)
-    rohb = ((idxb >> 7) == q).astype(jnp.bfloat16)
+    roh8 = ((idxb >> 7) == q).astype(jnp.int8)
     idxL = jnp.clip(_widen_rows(idx_ref, r0, nrows, L, pre), 0, R * L - 1)  # (L, E)
     lq = jax.lax.broadcasted_iota(jnp.int32, (L, E), 0)
     lohb = (idxL & (L - 1)) == lq                       # bool mask
@@ -418,22 +427,31 @@ def gather_rows_multi(tables_bits, idx_ref, r0, nrows: int = 8, pre=None):
     amask = mrow == mblk
     bi = jax.lax.broadcasted_iota(jnp.int32, (E, L), 0)
     bj = jax.lax.broadcasted_iota(jnp.int32, (E, L), 1)
-    bmat = ((bi & (L - 1)) == bj).astype(jnp.bfloat16)  # (E, L)
+    bmat8 = ((bi & (L - 1)) == bj).astype(jnp.int8)     # (E, L)
     outs = []
     for table, bits in tables_bits:
         acc = jnp.zeros((nrows, L), jnp.int32)
         for k in range((bits + 7) // 8):
+            # int8 MXU dots with a -128 bias (8-bit limbs overflow signed
+            # int8; every one-hot column sums to exactly 1, so the bias is
+            # restored by +128 after the dot) — exact integer arithmetic,
+            # ~1.5x bf16 throughput (mosaic_probe3b)
+            lim8 = (limb_f(table, k) - 128).astype(jnp.int8)
             picked = jax.lax.dot_general(
-                limb_f(table, k), rohb,
+                lim8, roh8,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                           # (L, E)
-            val = jnp.sum(jnp.where(lohb, picked, 0.0), axis=0, keepdims=True)
-            vb = jnp.where(amask, jnp.broadcast_to(val, (nrows, E)), 0.0)
-            lim = jnp.dot(
-                vb.astype(jnp.bfloat16), bmat, preferred_element_type=jnp.float32
-            )                                           # (nrows, L), one hit each
-            acc = acc | (lim.astype(jnp.int32) << (8 * k))
+                preferred_element_type=jnp.int32,
+            ) + 128                                     # (L, E)
+            val = jnp.sum(jnp.where(lohb, picked, 0), axis=0, keepdims=True)
+            vb8 = jnp.where(
+                amask, jnp.broadcast_to(val, (nrows, E)) - 128, 0
+            ).astype(jnp.int8)
+            lim = jax.lax.dot_general(
+                vb8, bmat8,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ) + 128                                     # (nrows, L), one hit each
+            acc = acc | (lim << (8 * k))
         outs.append(acc)
     return outs
 
@@ -453,14 +471,14 @@ def scatter_rows_multi(pos_ref, val_refs_bits, r0, out_rows: int, nrows: int = 8
     inb = (posb >= 0) & (posb < out_rows * L)
     pc = jnp.clip(posb, 0, out_rows * L - 1)
     q = jax.lax.broadcasted_iota(jnp.int32, (out_rows, E), 0)
-    rohb = ((pc >> 7) == q).astype(jnp.bfloat16)
+    roh = jnp.where(inb, ((pc >> 7) == q).astype(jnp.int32), 0)
     posL = _widen_rows(pos_ref, r0, nrows, L)           # (L, E)
     inbL = (posL >= 0) & (posL < out_rows * L)
     pL = jnp.clip(posL, 0, out_rows * L - 1)
     lq = jax.lax.broadcasted_iota(jnp.int32, (L, E), 0)
-    lohb = jnp.where(
-        inbL, ((pL & (L - 1)) == lq).astype(jnp.bfloat16), 0
-    )                                                   # (L, E)
+    loh8 = jnp.where(
+        inbL, ((pL & (L - 1)) == lq).astype(jnp.int32), 0
+    ).astype(jnp.int8)                                  # (L, E)
     vcats = []
     for vref, _bits in val_refs_bits:
         rows = [vref[pl.ds(r0 + j, 1), :] for j in range(nrows)]
@@ -468,14 +486,16 @@ def scatter_rows_multi(pos_ref, val_refs_bits, r0, out_rows: int, nrows: int = 8
     accs = []
     for (vref, bits), vcat in zip(val_refs_bits, vcats):
         acc = jnp.zeros((out_rows, L), jnp.int32)
-        for k in range((bits + 7) // 8):
-            w = rohb * ((vcat >> (8 * k)) & 0xFF).astype(jnp.bfloat16)
+        # 7-bit limbs keep w = onehot*limb inside signed int8 with no bias
+        # bookkeeping; int8 MXU dots accumulate exactly in int32
+        for k in range((bits + 6) // 7):
+            w8 = (roh * ((vcat >> (7 * k)) & 0x7F)).astype(jnp.int8)
             h = jax.lax.dot_general(
-                w, lohb,
+                w8, loh8,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.int32,
             )                                           # (out_rows, L)
-            acc = acc + (h.astype(jnp.int32) << (8 * k))
+            acc = acc + (h << (7 * k))
         accs.append(acc)
     return accs
 

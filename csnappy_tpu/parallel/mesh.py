@@ -120,8 +120,9 @@ def compress_sharded(data: bytes, mesh: Mesh | None = None, bs: int = wire.BLOCK
     )
     comp = np.asarray(comp).astype(np.uint8)   # kernel emits byte-per-int32
     lens = np.asarray(lens)
-    for i in range(nb):
-        out += comp[i, : lens[i]].tobytes()
+    from ..ops.encode_fused import _compact
+
+    out += _compact(comp[:nb], lens[:nb])
     return bytes(out)
 
 

@@ -115,6 +115,12 @@ def compress_blocks(data: bytes, page_size: int = 4096, codec: str = "snappy") -
                 table += struct.pack("<I", len(c))
                 payload += c
     else:
+        if codec == "lzo":
+            raise ValueError(
+                "codec 'lzo' is gated out: no liblzo2/python-lzo binding in "
+                "this environment (the reference's block_compressor.c:233-249 "
+                "vtable has snappy|lzo|zlib; snappy and zlib are available)"
+            )
         raise ValueError(f"unknown codec {codec!r} (available: snappy, zlib)")
     return bytes(head + table + payload), stats
 
@@ -174,5 +180,10 @@ def decompress_blocks(container: bytes, page_size: int = 4096, codec: str = "sna
                 out += zlib.decompress(bytes(seg))
                 stats.codec_seconds += time.perf_counter() - t0
     else:
+        if codec == "lzo":
+            raise ValueError(
+                "codec 'lzo' is gated out: no liblzo2/python-lzo binding in "
+                "this environment"
+            )
         raise ValueError(f"unknown codec {codec!r}")
     return bytes(out), stats

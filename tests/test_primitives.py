@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from csnappy_tpu import errors
 from csnappy_tpu.models import pymodel
-from csnappy_tpu.ops import decode_block, primitives as prim
+from csnappy_tpu.ops import decode_fused, primitives as prim
 
 
 def _rng(seed):
@@ -89,14 +89,14 @@ def _decode_one(frag: bytes, out_cap: int):
     P = max(128, (len(frag) + 8 + 127) // 128 * 128)
     arr = np.zeros((1, P), np.uint8)
     arr[0, : len(frag)] = np.frombuffer(frag, np.uint8)
-    out, produced, status = decode_block.decode_blocks(
+    out, produced, status = decode_fused.decode_blocks(
         arr, np.array([len(frag)], np.int32), out_cap
     )
     return out[0], int(produced[0]), int(status[0])
 
 
 class TestDecoderOnPallasPath:
-    """decode_block through the real kernels on the nastiest vectors."""
+    """The shipping fused decoder through the real kernels on the nastiest vectors."""
 
     @pytest.mark.parametrize(
         "data",

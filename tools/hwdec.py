@@ -85,7 +85,7 @@ def main():
         lens_dev = jax.device_put(jnp.asarray(lens))
         cap_dev = jax.device_put(jnp.full((B,), 32768, np.int32))
         prev = 0.0
-        for ph in (1, 2, 3, 4, 5, 6, 7, 99):
+        for ph in (1, 2, 3, 4, 99):
             dfn = decode_fused._compiled(B, P // 128, 256, phases=ph)
 
             def dec_step(k):
@@ -93,7 +93,7 @@ def main():
                 o, m = dfn(lens_dev, cap_dev, ck)
                 return m[:, 0].sum() + o[0, 0, 0]
 
-            t = slope_time(dec_step)
+            t = slope_time(dec_step, k_lo=2, k_hi=10, reps=4)
             print(
                 f"phase<={ph:2d}  t={t*1e3:8.3f} ms  delta={(t-prev)*1e3:8.3f} ms",
                 flush=True,
