@@ -80,7 +80,7 @@ def _kernel(
     h1_ref, h2_ref,                                 # cover scratch (CO, L)
     par_ref, lidx_ref,                              # resolve scratch (CO, L)
     big_ref,                                        # [comp; out] value table (CI+CO, L)
-    pt_smem, tag_smem, sem,                         # SMEM + DMA
+    pt_smem, tag_smem, gflags_ref, sem,             # SMEM + DMA
     *, CI: int, CO: int, phases: int = 99,
 ):
     def _cut(n, *vals):
@@ -320,10 +320,14 @@ def _kernel(
     # gather serves literals and copies from ONE table and no separate
     # literal-value phase is needed
     lidx = jnp.clip(fld_o + (o - t_os), 0, P - 1)
+    # dead/errored cells park at comp row 0 (an always-final table row, value
+    # masked by live8) rather than self-looping at their own output cell —
+    # self-loops would read "still in-group" forever under the count-based
+    # convergence criterion below
     parent = jnp.where(
         is_copy & ~copy_err,
         jnp.clip(o - fld_o, 0, OCL - 1) + CI * L,
-        jnp.where(islit_o & live, lidx, o + CI * L),
+        jnp.where(islit_o & live, lidx, 0),
     )
     par_ref[...] = parent
     lidx_ref[...] = live.astype(jnp.int32) << 16
@@ -344,56 +348,65 @@ def _kernel(
     # the round-2 design.
     RG = next(n for n in (32, 16, 8) if CO % n == 0)
     NRG = CO // RG
-    LOCAL_MAX = 14  # adaptive cap: log2 worst-case chain inside a 4KB group
+    LOCAL_MAX = 18  # adaptive cap: in-group chain depth after halving
     par_bits = ((CI + CO) * L - 1).bit_length()  # static: 16 for 32K blocks
     big_ref[pl.ds(0, CI), :] = comp
 
-    def resolve_grp(r0, _):
+    # per-group "has in-group parent" flags (vector->SMEM->scalar): groups
+    # with none — all-literal or far-copy 4 KiB spans, the common case on
+    # text — skip halving and doubling entirely; the value gather alone
+    # finishes them
+    own_base = CI * L + (o & ~(RG * L - 1))
+    ingrp = (parent >= own_base).astype(jnp.int32)
+    for g in range(NRG):
+        gflags_ref[g] = jnp.sum(ingrp[g * RG : (g + 1) * RG, :])
+    gflags_ref[NRG] = 0                    # total doubling rounds (profiling)
+    gflags_ref[NRG + 1] = 0                # groups entered (profiling)
+
+    def resolve_grp(r0, gi):
         base = (CI + r0) * L
         # static prefix bound: parents only ever point below the group's
         # end, so gathers read a growing prefix of [comp; out] — early
         # groups pay for far fewer table rows
         PR = CI + r0 + RG
-        lrow = jax.lax.broadcasted_iota(jnp.int32, (RG, L), 0)
-        arow = lrow + CI + r0
-        parg = par_ref[pl.ds(r0, RG), :]
-        # in-row path halving (native lane gathers); the MXU rounds below
-        # also collapse in-row parents, so these are just an accelerator
-        for _i in range(4):
-            nxt = kl.lane_gather(parg, parg & (L - 1))
-            parg = jnp.where(_srl(parg, 7) == arow, nxt, parg)
-        par_ref[pl.ds(r0, RG), :] = parg
 
-        def lround():
-            cur = par_ref[pl.ds(r0, RG), :]
-            (gath,) = kl.gather_rows_multi(
-                [(cur, par_bits), ], par_ref, r0, nrows=RG,
-                pre=lambda r: r - base,
+        @pl.when(gflags_ref[gi] > 0)
+        def _():
+            lrow = jax.lax.broadcasted_iota(jnp.int32, (RG, L), 0)
+            arow = lrow + CI + r0
+            parg = par_ref[pl.ds(r0, RG), :]
+            # in-row path halving (native lane gathers); the MXU rounds
+            # below also collapse in-row parents — this is an accelerator
+            for _i in range(4):
+                nxt = kl.lane_gather(parg, parg & (L - 1))
+                parg = jnp.where(_srl(parg, 7) == arow, nxt, parg)
+            par_ref[pl.ds(r0, RG), :] = parg
+
+            # adaptive local doubling, no fixed rounds: convergence is
+            # "no parent still points in-group" (not "nothing changed"),
+            # which needs NO confirm round — every chain strictly descends
+            # and dead cells park below base, so the count hits zero on
+            # the exact round the last chain resolves
+            def rcond(c):
+                return (c[1] > 0) & (c[0] < LOCAL_MAX)
+
+            def rbody(c):
+                k, _ch = c
+                cur = par_ref[pl.ds(r0, RG), :]
+                (gath,) = kl.gather_rows_multi(
+                    [(cur, par_bits)], par_ref, r0, nrows=RG,
+                    pre=lambda r: r - base,
+                )
+                new = jnp.where(cur >= base, gath, cur)
+                par_ref[pl.ds(r0, RG), :] = new
+                return k + 1, jnp.sum((new >= base).astype(jnp.int32))
+
+            rk, _ = jax.lax.while_loop(
+                rcond, rbody,
+                (jnp.int32(0), jnp.sum((parg >= base).astype(jnp.int32))),
             )
-            new = jnp.where(cur >= base, gath, cur)
-            par_ref[pl.ds(r0, RG), :] = new
-            return new, cur
-
-        # local doubling: collapse in-group chains until every parent is
-        # below the group or a comp-side literal source.  Three fixed
-        # rounds cover typical depth (chains2 analysis); the convergence
-        # reduction runs ONCE, and the adaptive rescue loop only fires on
-        # pathological (adversarial RLE-like) groups
-        for _i in range(3):
-            lround()
-        new, cur = lround()
-
-        def rcond(c):
-            return (c[1] > 0) & (c[0] < LOCAL_MAX)
-
-        def rbody(c):
-            k, _ch = c
-            n2, c2 = lround()
-            return k + 1, jnp.sum((n2 != c2).astype(jnp.int32))
-
-        jax.lax.while_loop(
-            rcond, rbody, (jnp.int32(0), jnp.sum((new != cur).astype(jnp.int32)))
-        )
+            gflags_ref[NRG] = gflags_ref[NRG] + rk
+            gflags_ref[NRG + 1] = gflags_ref[NRG + 1] + 1
 
         live8 = _srl(lidx_ref[pl.ds(r0, RG), :], 16) & 1
         (val8,) = kl.gather_rows_multi(
@@ -405,7 +418,7 @@ def _kernel(
         return 0
 
     for _g in range(NRG):          # unrolled: static prefix sizes per group
-        resolve_grp(_g * RG, 0)
+        resolve_grp(_g * RG, _g)
 
     # ------------------------------------------------------------- status
     ev_end = jnp.where(malformed_walk, total_out, BIG)
@@ -420,8 +433,8 @@ def _kernel(
     meta_ref[b, 1] = status
     meta_ref[b, 2] = nsteps
     meta_ref[b, 3] = total_out
-    meta_ref[b, 4] = jnp.int32(0)
-    meta_ref[b, 5] = jnp.int32(0)
+    meta_ref[b, 4] = gflags_ref[NRG]
+    meta_ref[b, 5] = gflags_ref[NRG + 1]
     meta_ref[b, 6] = jnp.int32(0)
     meta_ref[b, 7] = jnp.int32(0)
 
@@ -467,6 +480,7 @@ def _compiled(B: int, CI: int, CO: int, phases: int = 99):
                 pltpu.VMEM((CI + CO, L), i32),      # big: [comp; out] values
                 pltpu.SMEM((CI, L), i32),           # pair walk table
                 pltpu.SMEM((TROWS + 8, L), i32),    # step buffer (+spare rows)
+                pltpu.SMEM((max(CO // 8, 8) + 2,), i32),  # group flags + counters
                 pltpu.SemaphoreType.DMA,
             ],
             compiler_params=pltpu.CompilerParams(

@@ -471,14 +471,12 @@ def scatter_rows_multi(pos_ref, val_refs_bits, r0, out_rows: int, nrows: int = 8
     inb = (posb >= 0) & (posb < out_rows * L)
     pc = jnp.clip(posb, 0, out_rows * L - 1)
     q = jax.lax.broadcasted_iota(jnp.int32, (out_rows, E), 0)
-    roh = jnp.where(inb, ((pc >> 7) == q).astype(jnp.int32), 0)
+    roh8 = jnp.where(inb, ((pc >> 7) == q).astype(jnp.int32), 0).astype(jnp.int8)
     posL = _widen_rows(pos_ref, r0, nrows, L)           # (L, E)
     inbL = (posL >= 0) & (posL < out_rows * L)
     pL = jnp.clip(posL, 0, out_rows * L - 1)
     lq = jax.lax.broadcasted_iota(jnp.int32, (L, E), 0)
-    loh8 = jnp.where(
-        inbL, ((pL & (L - 1)) == lq).astype(jnp.int32), 0
-    ).astype(jnp.int8)                                  # (L, E)
+    loh = jnp.where(inbL, ((pL & (L - 1)) == lq).astype(jnp.int32), 0)  # (L, E)
     vcats = []
     for vref, _bits in val_refs_bits:
         rows = [vref[pl.ds(r0 + j, 1), :] for j in range(nrows)]
@@ -487,11 +485,14 @@ def scatter_rows_multi(pos_ref, val_refs_bits, r0, out_rows: int, nrows: int = 8
     for (vref, bits), vcat in zip(val_refs_bits, vcats):
         acc = jnp.zeros((out_rows, L), jnp.int32)
         # 7-bit limbs keep w = onehot*limb inside signed int8 with no bias
-        # bookkeeping; int8 MXU dots accumulate exactly in int32
+        # bookkeeping; int8 MXU dots accumulate exactly in int32.  Values
+        # ride the LANE one-hot — the O(L*E) elementwise multiply is
+        # out_rows/L times cheaper than attaching them to the row side —
+        # and the 0/1 row one-hot is reused across limbs and tables.
         for k in range((bits + 6) // 7):
-            w8 = (roh * ((vcat >> (7 * k)) & 0x7F)).astype(jnp.int8)
+            w8 = (loh * ((vcat >> (7 * k)) & 0x7F)).astype(jnp.int8)
             h = jax.lax.dot_general(
-                w8, loh8,
+                roh8, w8,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )                                           # (out_rows, L)
