@@ -139,7 +139,9 @@ def decompress_fragments_sharded(
     out_cap = (out_cap + 1023) // 1024 * 1024
     width = max(len(f) for f in frags) if frags else 1
     width = (width + 1023) // 1024 * 1024
-    B = _pad_batch(max(nb, 1), n_dev)
+    # per-device batch must divide into the decode kernel's NB-block grid
+    # steps (4-chain interleaved walk)
+    B = _pad_batch(max(nb, 1), n_dev * decode_fused.NB)
     batch = np.zeros((B, width), np.uint8)
     clens = np.zeros((B,), np.int32)
     # per-fragment dst_limit (ADVICE r1: not the batch-wide out_cap, so a
