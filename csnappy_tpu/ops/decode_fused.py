@@ -361,16 +361,26 @@ def _kernel(
         ev_copy = jnp.min(jnp.where(copy_err, o, BIG))
         # combined-table parent index: literals point straight at their
         # source byte in the compressed stream (rows < CI of [comp; out]),
-        # copies at their source output byte (CI*L + o - off) — so the
-        # per-group value gather serves literals and copies from ONE table.
-        # Dead/errored cells park at comp row 0 (an always-final table row,
-        # value masked by live8) rather than self-looping at their own
-        # output cell — self-loops would read "still in-group" forever
-        # under the count-based convergence criterion below.
+        # copies at their source output byte — so the per-group value gather
+        # serves literals and copies from ONE table.  Self-referential
+        # copies (off < len, the IncrementalCopy/RLE case,
+        # csnappy_decompress.c:200-254) are periodic with period off, so the
+        # pre-tag source is computed ANALYTICALLY: byte o of a tag starting
+        # at t_os with offset off resolves to t_os - off + (o - t_os) % off,
+        # which escapes the self-overlap in one step (when off >= len this
+        # is exactly o - off).  Parent chains then only span copy NESTING
+        # depth, never run lengths.  Dead/errored cells park at comp row 0
+        # (an always-final table row, value masked by live8) rather than
+        # self-looping at their own output cell — self-loops would read
+        # "still in-group" forever under the count-based convergence
+        # criterion below.
         lidx = jnp.clip(fld_o + (o - t_os), 0, P - 1)
+        rel = o - t_os
+        offc = jnp.maximum(fld_o, 1)
+        src0 = t_os - fld_o + jnp.where(rel < offc, rel, rel % offc)
         parent = jnp.where(
             is_copy & ~copy_err,
-            jnp.clip(o - fld_o, 0, OCL - 1) + CI * L,
+            jnp.clip(src0, 0, OCL - 1) + CI * L,
             jnp.where(islit_o & live, lidx, 0),
         )
         par_ref[...] = parent
