@@ -82,7 +82,7 @@ def _srl(x, k):
 def _kernel(
     slen_ref, dlim_ref, comp_ref,                   # inputs
     out_ref, meta_ref,                              # outputs
-    tp_ref, tf_ref, pt_ref,                         # dense parse scratch (NB*CI, L)
+    tp_ref, tf_ref, pt_ref, tpp_ref, tfp_ref,       # dense parse scratch (NB*CI, L)
     tpos_ref, tpos2_ref,                            # step/partner positions (TROWS, L)
     tp1_ref, tf1_ref, tp2_ref, tf2_ref,             # two-stream tag fields (TROWS, L)
     h1_ref, h2_ref,                                 # cover scratch (CO, L)
@@ -152,11 +152,11 @@ def _kernel(
         in_range = pos < slen
         valid = in_range & ~(((pos + adv) > slen) | lit_too_big)
         adv_v = jnp.where(valid, adv, 0)
-        tp_ref[pl.ds(j * CI, CI), :] = jnp.where(
-            valid, prod | (islit.astype(jnp.int32) << 16), 0
-        )
+        tpv = jnp.where(valid, prod | (islit.astype(jnp.int32) << 16), 0)
         ls = jnp.clip(pos + hdr, 0, P - 1)
-        tf_ref[pl.ds(j * CI, CI), :] = jnp.where(islit, ls, off16)
+        tfv = jnp.where(islit, ls, off16)
+        tp_ref[pl.ds(j * CI, CI), :] = tpv
+        tf_ref[pl.ds(j * CI, CI), :] = tfv
         # pair table: short first tag (adv<=31) fuses with its successor so
         # the scalar walk retires 2 tags per load; partner advance fetched
         # with one native lane gather (successor is at most 31+127 lanes
@@ -174,6 +174,15 @@ def _kernel(
             jnp.where(paired, (adv + adv2) | (adv << 17), adv),
             0,
         )
+        # partner fields precomputed densely (two lane gathers each), so
+        # the fields phase serves BOTH tag streams from ONE row-gather call
+        # with a single shared one-hot mask
+        tpn = kl.row_shift_up(tpv, 1)
+        tfn = kl.row_shift_up(tfv, 1)
+        tpp = jnp.where(rowd == 0, kl.lane_gather(tpv, q_l), kl.lane_gather(tpn, q_l))
+        tfp = jnp.where(rowd == 0, kl.lane_gather(tfv, q_l), kl.lane_gather(tfn, q_l))
+        tpp_ref[pl.ds(j * CI, CI), :] = jnp.where(paired, tpp, 0)
+        tfp_ref[pl.ds(j * CI, CI), :] = jnp.where(paired, tfp, 0)
         cut1.extend([tp_ref[pl.ds(j * CI, 8), :], pt_ref[pl.ds(j * CI, 8), :]])
 
     cpd = pltpu.make_async_copy(pt_ref, pt_smem, sem)
@@ -253,30 +262,26 @@ def _kernel(
         cpt.wait()
 
         # ------------------------------------------------------- 3. fields
-        # two tag streams per walk step: A at the stored position, B at the
-        # reconstructed partner position (advance from the pair table; B is
-        # an empty tag when the step was unpaired)
+        # two tag streams per walk step: A at the stored position, B the
+        # parse-precomputed partner (empty when the step was unpaired) —
+        # both streams served by ONE gather call / one shared one-hot mask
         FN = 16
         ngroups = (nsteps + FN * L - 1) // (FN * L)
         tp_t = tp_ref[pl.ds(j * CI, CI), :]
         tf_t = tf_ref[pl.ds(j * CI, CI), :]
-        adv1_t = _srl(pt_ref[pl.ds(j * CI, CI), :], 17) & 31
+        tpp_t = tpp_ref[pl.ds(j * CI, CI), :]
+        tfp_t = tfp_ref[pl.ds(j * CI, CI), :]
 
         def fields_grp(g, _):
             r0 = pl.multiple_of(g * FN, 8)
-            tpg, tfg, ag = kl.gather_rows_multi(
-                [(tp_t, 17), (tf_t, 16), (adv1_t, 5)], tpos_ref, r0, nrows=FN
+            tpg, tfg, tpg2, tfg2 = kl.gather_rows_multi(
+                [(tp_t, 17), (tf_t, 16), (tpp_t, 17), (tfp_t, 16)],
+                tpos_ref, r0, nrows=FN,
             )
             tp1_ref[pl.ds(r0, FN), :] = tpg
             tf1_ref[pl.ds(r0, FN), :] = tfg
-            posg = tpos_ref[pl.ds(r0, FN), :]
-            tpos2_ref[pl.ds(r0, FN), :] = posg + ag
-            tpg2, tfg2 = kl.gather_rows_multi(
-                [(tp_t, 17), (tf_t, 16)], tpos2_ref, r0, nrows=FN
-            )
-            paired = ag > 0
-            tp2_ref[pl.ds(r0, FN), :] = jnp.where(paired, tpg2, 0)
-            tf2_ref[pl.ds(r0, FN), :] = jnp.where(paired, tfg2, 0)
+            tp2_ref[pl.ds(r0, FN), :] = tpg2
+            tf2_ref[pl.ds(r0, FN), :] = tfg2
             return 0
 
         jax.lax.fori_loop(0, ngroups, fields_grp, 0)
@@ -419,10 +424,20 @@ def _kernel(
                 lrow = jax.lax.broadcasted_iota(jnp.int32, (RG, L), 0)
                 arow = lrow + CI + r0
                 parg = par_ref[pl.ds(r0, RG), :]
-                # in-row path halving (native lane gathers)
-                for _i in range(4):
-                    nxt = kl.lane_gather(parg, parg & (L - 1))
-                    parg = jnp.where(_srl(parg, 7) == arow, nxt, parg)
+                # banded path halving: parents within BW rows up resolve
+                # with native lane gathers on row-shifted copies (an order
+                # of magnitude cheaper than one-hot doubling rounds); the
+                # adaptive while below only sees the rare long-range
+                # in-group parents
+                BW = 3
+                for _i in range(3):
+                    d = arow - _srl(parg, 7)
+                    hop = parg
+                    for dd in range(BW + 1):
+                        src = parg if dd == 0 else kl.row_shift_down(parg, dd)
+                        gth = kl.lane_gather(src, parg & (L - 1))
+                        hop = jnp.where((parg >= base) & (d == dd), gth, hop)
+                    parg = hop
                 par_ref[pl.ds(r0, RG), :] = parg
 
                 # adaptive local doubling: convergence is "no parent still
@@ -513,6 +528,8 @@ def _compiled(B: int, CI: int, CO: int, phases: int = 99):
                 pltpu.VMEM((NB * CI, L), i32),      # tp
                 pltpu.VMEM((NB * CI, L), i32),      # tf
                 pltpu.VMEM((NB * CI, L), i32),      # pt
+                pltpu.VMEM((NB * CI, L), i32),      # tpp (partner prod)
+                pltpu.VMEM((NB * CI, L), i32),      # tfp (partner field)
                 pltpu.VMEM((TROWS, L), i32),        # tpos (step positions)
                 pltpu.VMEM((TROWS, L), i32),        # tpos2 (partner positions)
                 pltpu.VMEM((TROWS, L), i32),        # tp1

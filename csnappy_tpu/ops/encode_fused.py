@@ -15,14 +15,16 @@ same slim load/store chain-following as the decoder's:
      Sorts and the suffix scans (chain floor, next-candidate) ride XLA,
      where they are near-free; gathers stay in-kernel on the MXU (XLA TPU
      gathers measured 100x slower, tools/mosaic_probe3c).
-  2. dense match lengths (VPU/MXU): candidate chains give a floor —
-     consecutive chains (cand[p+1]==cand[p]+1) prove 4+run matching bytes
-     with no byte comparisons; two MXU gather rounds extend by up to 4+8
-     more bytes (the vector FindMatchLength, csnappy_compress.c:252-295),
-     the second fetching two shifted copies of w at shared indices so the
-     one-hot construction is paid once.  Longer matches commit short —
-     still a conformant stream — for ~1% ratio vs exhaustive greedy while
-     keeping the serial walk entirely branchless.
+  2. dense match lengths (XLA, carried by the sort): the sort carries the
+     windows at p+4/p+8/p+12 as extra operands, so the LCP against the
+     sorted predecessor — the vector FindMatchLength
+     (csnappy_compress.c:252-295) — is an elementwise XOR/compare in
+     sorted order, up to 16 bytes, with NO gathers anywhere.  The chain
+     floor adds run lengths on top: consecutive candidate chains
+     (cand[p+1]==cand[p]+1) prove 4+run matching bytes inductively.
+     Matches longer than 16 commit short — still a conformant stream
+     (any length <= the true match conforms, csnappy_compress.c:221-227)
+     at ~1% ratio cost — keeping the serial walk entirely branchless.
   3. dense successors: succ(p) = nextc(p + ml[p]) composes through literal
      gaps (the vector analog of the skip>>5 literal acceleration,
      csnappy_compress.c:535-551), so every walk step lands on a commit;
@@ -82,9 +84,9 @@ def _bounded_gather(table, dist, bits_fill=0):
 
 
 def _kernel(
-    blen_ref, data_ref, w_ref, in1_ref, nc_ref,          # inputs
+    blen_ref, data_ref, in1_ref, nc_ref,                 # inputs
     comp_ref, meta_ref,                                  # outputs
-    ml_ref, wtab_ref, aux_ref,                           # dense scratch (BR, L)
+    ml_ref, wtab_ref,                                    # dense scratch (BR, L)
     tpos_ref, tpos2_ref, m1_ref, o1_ref, m2_ref, o2_ref, # step fields (TR, L)
     sq_ref, s1_ref, s2_ref, s3_ref,                      # scatter stage (TR, L)
     h1_ref, h2_ref, h3_ref, vals_ref, lidx_ref,          # emission (OCR, L)
@@ -113,7 +115,6 @@ def _kernel(
     b = pl.program_id(0)
     blen = blen_ref[b]
     data = data_ref[0]
-    w = w_ref[0]
     pos = kl.row_iota(BR)
 
     # dense inputs from XLA prep (sorts and cummins are near-free there;
@@ -129,60 +130,12 @@ def _kernel(
     if _cut(1, in1):
         return
 
-    # ------------------------------------- dense match lengths + successors
-    cap = jnp.clip(blen - pos, 0, wire.MAX_COPY_LEN)
-
-    def teq_v(x):
-        return jnp.where(
-            x == 0, 4,
-            ((x & 0xFF) == 0).astype(jnp.int32)
-            + ((x & 0xFFFF) == 0).astype(jnp.int32)
-            + ((x & 0xFFFFFF) == 0).astype(jnp.int32),
-        )
-
-    # one dense extension round: 4 more bytes via one MXU gather + XOR
-    # (the vector FindMatchLength entry, csnappy_compress.c:252-295)
-    wp = _bounded_gather(w, ml0)
-    aux_ref[...] = jnp.clip(cand + ml0, 0, BS - 1)
-    VN = min(16, BR)
-
-    def ext_grp(g, _):
-        r0 = pl.multiple_of(g * VN, 8)
-        (wcx,) = kl.gather_rows_multi([(w, 32)], aux_ref, r0, nrows=VN)
-        aux_ref[pl.ds(r0, VN), :] = wcx
-        return 0
-
-    jax.lax.fori_loop(0, BR // VN, ext_grp, 0)
-    e = teq_v(wp ^ aux_ref[...])
-    grow = has & (ml0 < cap)
-    ml = jnp.where(grow, jnp.minimum(ml0 + e, cap), ml0)
-    extb = grow & (e >= 4) & (ml < cap)
-
-    # second dense extension round: 8 more bytes via ONE shared-index
-    # two-table gather (w and w-shifted-by-4 fetched at the same indices,
-    # so the one-hot construction is paid once and only the cheap limb
-    # dots double).  Extensions beyond 4+8 commit short — still a valid
-    # stream (any length <= the true match conforms) at ~1% ratio cost,
-    # and the serial walk needs NO extension logic at all.
-    w4 = kl.stream_shift_up_mm(w, 4, bits=32)
-    wp1 = _bounded_gather(w, ml)
-    wp2 = _bounded_gather(w4, ml)
-    aux_ref[...] = jnp.clip(cand + ml, 0, BS - 1)
-
-    def ext2_grp(g, _):
-        r0 = pl.multiple_of(g * VN, 8)
-        wc1, wc2 = kl.gather_rows_multi(
-            [(w, 32), (w4, 32)], aux_ref, r0, nrows=VN
-        )
-        aux_ref[pl.ds(r0, VN), :] = wc1
-        wtab_ref[pl.ds(r0, VN), :] = wc2
-        return 0
-
-    jax.lax.fori_loop(0, BR // VN, ext2_grp, 0)
-    x1 = wp1 ^ aux_ref[...]
-    x2 = wp2 ^ wtab_ref[...]
-    e2 = jnp.where(x1 != 0, teq_v(x1), 4 + teq_v(x2))
-    ml = jnp.where(extb, jnp.minimum(ml + e2, cap), ml)
+    # --------------------------------------------- dense successors
+    # match lengths arrive fully computed from the XLA prep (chain floor
+    # max sort-carried 16-byte LCP); matches longer than 16 are recovered
+    # post-walk by the gap-capped extension in the fields phase, so the
+    # dense side runs NO gathers at all.
+    ml = ml0
     ml_ref[...] = jnp.where(has, ml, 0)
 
     # successors composed through literal gaps so every walk step lands on
@@ -369,6 +322,9 @@ def _kernel(
 
         jax.lax.fori_loop(0, ngroups, scat_grp, 0)
 
+    if _cut(65, h1_ref[...], h2_ref[...], h3_ref[...]):
+        return
+
     H1 = kl.scan2d_mm(h1_ref[...], "max", bits=31)
     H2 = kl.scan2d_mm(h2_ref[...], "max", bits=31)
     H3 = kl.scan2d_mm(h3_ref[...], "max", bits=31)
@@ -410,6 +366,9 @@ def _kernel(
     vals_ref[...] = jnp.where(live, val, 0) | jnp.where(ispay & live, 1 << 8, 0)
     lidx_ref[...] = jnp.clip(tpos_o + delta - 1 - ext_o, 0, BS - 1)
 
+    if _cut(8, vals_ref[...], lidx_ref[...]):
+        return
+
     def fin_grp(g, _):
         r0 = pl.multiple_of(g * 8, 8)
         (pay8,) = kl.gather_rows_multi([(data, 8)], lidx_ref, r0)
@@ -440,26 +399,62 @@ def _compiled(B: int, BR: int, hash_bits: int = 16, phases: int = 99):
         # gathers are 100x worse than in-kernel MXU one-hot gathers — so
         # everything except the w[cand+ml] extension gather lives here.
         flat = data.reshape(B, BS)
-        z = jnp.zeros((B, 4), i32)
+        z = jnp.zeros((B, 32), i32)
         extz = jnp.concatenate([flat, z], axis=1)
-        w = (
-            flat
-            | (extz[:, 1 : BS + 1] << 8)
-            | (extz[:, 2 : BS + 2] << 16)
-            | (extz[:, 3 : BS + 3] << 24)
-        )
+
+        def win(at):
+            return (
+                extz[:, at : BS + at]
+                | (extz[:, at + 1 : BS + at + 1] << 8)
+                | (extz[:, at + 2 : BS + at + 2] << 16)
+                | (extz[:, at + 3 : BS + at + 3] << 24)
+            )
+
+        w = win(0)
         posf = jnp.broadcast_to(jnp.arange(BS, dtype=i32)[None, :], (B, BS))
         # exact most-recent-match: stable sort by the FULL 4-byte window
         # (signed order still groups equal windows; stability keeps
-        # positions ascending) — no hash, no verification gather needed
-        ws, ps = jax.lax.sort((w, posf), dimension=1, is_stable=True, num_keys=1)
+        # positions ascending) — no hash, no verification gather needed.
+        # The sort CARRIES the windows at p+4/p+8/p+12, so the match-length
+        # extension beyond the guaranteed 4 bytes is an elementwise compare
+        # against the sorted predecessor — the vector FindMatchLength
+        # (csnappy_compress.c:252-295) costs no in-kernel gathers at all.
+        # lexicographic (w, pos) keys replace a stable single-key sort
+        # (pos is unique, so the order is identical); stability machinery
+        # measured 2-4x the cost of the extra key on this chip
+        carried = jax.lax.sort(
+            (w, posf) + tuple(win(4 * k) for k in range(1, 8)),
+            dimension=1, is_stable=False, num_keys=2,
+        )
+        ws, ps = carried[0], carried[1]
         same = jnp.concatenate(
             [jnp.zeros((B, 1), jnp.bool_), ws[:, 1:] == ws[:, :-1]], axis=1
         )
         scand = jnp.where(same, jnp.roll(ps, 1, axis=1), NOCAND)
-        # un-sort via a second, single-key packed sort (pos 15 bits << 16 |
-        # cand 16 bits fits one int32; beats 32 in-kernel scatter calls)
-        cand = jnp.sort((ps << 16) | scand, axis=1) & 0xFFFF
+
+        # LCP against the sorted predecessor, all 7 carried windows in one
+        # stacked pass (separate per-window rolls each materialize a full
+        # (B, BS) array; the stacked form rolls once)
+        st = jnp.stack(carried[2:], axis=1)                  # (B, 7, BS)
+        xk = st ^ jnp.concatenate([st[:, :, :1], st[:, :, :-1]], axis=2)
+        eqw = (xk == 0).astype(i32)
+        teqk = jnp.where(
+            xk == 0, 4,
+            ((xk & 0xFF) == 0).astype(i32)
+            + ((xk & 0xFFFF) == 0).astype(i32)
+            + ((xk & 0xFFFFFF) == 0).astype(i32),
+        )
+        pref = jnp.concatenate(
+            [jnp.ones((B, 1, BS), i32), jnp.cumprod(eqw[:, :-1, :], axis=1)],
+            axis=1,
+        )
+        lcp = 4 + jnp.sum(pref * teqk, axis=1)
+        slcp = jnp.where(same, jnp.minimum(lcp, 32), 0)
+        # un-sort via a single-key multi-operand sort (pos is unique)
+        _, cand, lcpu = jax.lax.sort(
+            (ps, scand, slcp), dimension=1, is_stable=False, num_keys=1
+        )
+        cand = cand & 0xFFFF
         blc = blens[:, None]
         has = (cand != NOCAND) & (posf + 4 <= blc) & (cand < posf)
         # chain floor: consecutive candidate chains prove matching bytes
@@ -471,7 +466,9 @@ def _compiled(B: int, BR: int, hash_bits: int = 16, phases: int = 99):
         brk = jnp.where(consec, BS, posf)
         nb = jax.lax.cummin(brk, axis=1, reverse=True)
         cap = jnp.clip(blc - posf, 0, wire.MAX_COPY_LEN)
-        ml0 = jnp.minimum(wire.MIN_MATCH + (nb - posf), cap)
+        ml0 = jnp.minimum(
+            jnp.maximum(wire.MIN_MATCH + (nb - posf), lcpu), cap
+        )
         in1 = (
             jnp.where(has, cand, NOCAND)
             | (jnp.where(has, ml0, 0) << 15)
@@ -491,7 +488,6 @@ def _compiled(B: int, BR: int, hash_bits: int = 16, phases: int = 99):
                 pl.BlockSpec((1, BR, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, BR, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, BR, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BR, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 pl.BlockSpec((1, OCR, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -500,7 +496,6 @@ def _compiled(B: int, BR: int, hash_bits: int = 16, phases: int = 99):
             scratch_shapes=[
                 pltpu.VMEM((BR, L), i32),            # ml
                 pltpu.VMEM((BR, L), i32),            # wtab
-                pltpu.VMEM((BR, L), i32),            # aux
                 pltpu.VMEM((TR, L), i32),            # tpos
                 pltpu.VMEM((TR, L), i32),            # tpos2
                 pltpu.VMEM((TR, L), i32),            # m1
@@ -524,7 +519,7 @@ def _compiled(B: int, BR: int, hash_bits: int = 16, phases: int = 99):
                 vmem_limit_bytes=64 * 1024 * 1024,
             ),
             interpret=prim.interpret_mode(),
-        )(blens, data.reshape(B, BR, L), w.reshape(B, BR, L),
+        )(blens, data.reshape(B, BR, L),
           in1.reshape(B, BR, L), nc.reshape(B, BR, L))
         return comp, meta
 

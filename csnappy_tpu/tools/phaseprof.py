@@ -17,10 +17,10 @@ import sys
 
 import numpy as np
 
-DEC_PHASES = {1: "parse", 2: "walk", 3: "fields", 4: "cover", 5: "litvals",
-              6: "preresolve", 7: "doubling", 99: "full"}
-ENC_PHASES = {1: "unsort", 2: "nextcand", 3: "pack", 4: "walk", 5: "sizes",
-              6: "scatterfill", 99: "full"}
+DEC_PHASES = {1: "parse", 2: "walk", 3: "fields", 4: "cover", 99: "full"}
+ENC_PHASES = {1: "prep", 2: "succ", 3: "pack", 4: "walk", 5: "fields",
+              6: "sizes", 65: "scatter", 7: "hscans", 8: "valuation",
+              99: "full"}
 
 
 def _load(path: str | None) -> bytes:
