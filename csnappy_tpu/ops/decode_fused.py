@@ -466,10 +466,13 @@ def _kernel(
                 gflags_ref[NRG_MAX + 1] = gflags_ref[NRG_MAX + 1] + 1
 
             live8 = _srl(lidx_ref[pl.ds(r0, RG), :], 16) & 1
-            (val8,) = kl.gather_rows_multi(
-                [(big_ref[0:PR, :], 8)], par_ref, r0, nrows=RG
-            )
-            fin8 = jnp.where(live8 > 0, val8, 0)
+            if phases == 5:     # profiling: parents only, no value gather
+                fin8 = par_ref[pl.ds(r0, RG), :] & 0xFF
+            else:
+                (val8,) = kl.gather_rows_multi(
+                    [(big_ref[0:PR, :], 8)], par_ref, r0, nrows=RG
+                )
+                fin8 = jnp.where(live8 > 0, val8, 0)
             big_ref[pl.ds(CI + r0, RG), :] = fin8
             out_ref[j, pl.ds(r0, RG), :] = fin8
             return 0

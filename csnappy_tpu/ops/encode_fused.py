@@ -325,9 +325,32 @@ def _kernel(
     if _cut(65, h1_ref[...], h2_ref[...], h3_ref[...]):
         return
 
-    H1 = kl.scan2d_mm(h1_ref[...], "max", bits=31)
-    H2 = kl.scan2d_mm(h2_ref[...], "max", bits=31)
-    H3 = kl.scan2d_mm(h3_ref[...], "max", bits=31)
+    # banded running-max fills (like the decoder's cover): 5 row rounds
+    # cover record spans < 32 rows (4 KiB); rarer multi-KB literals extend
+    # the row doubling under a guard
+    maxsz = jnp.max(jnp.where(stepm, jnp.maximum(szLA, szLB), 0))
+    H1f, s1f, t1f = kl.fill_max_rows(h1_ref[...], 31, 5)
+    H2f, s2f, t2f = kl.fill_max_rows(h2_ref[...], 31, 5)
+    H3f, s3f, t3f = kl.fill_max_rows(h3_ref[...], 31, 5)
+    h1_ref[...] = H1f
+    h2_ref[...] = H2f
+    h3_ref[...] = H3f
+
+    @pl.when(maxsz > 31 * L)
+    def _():
+        t1x, t2x, t3x = t1f, t2f, t3f
+        for r in range(5, 9):
+            if (1 << r) < OCR:
+                t1x = jnp.maximum(t1x, kl.row_shift_down(t1x, 1 << r, fill=kl.NEG))
+                t2x = jnp.maximum(t2x, kl.row_shift_down(t2x, 1 << r, fill=kl.NEG))
+                t3x = jnp.maximum(t3x, kl.row_shift_down(t3x, 1 << r, fill=kl.NEG))
+        h1_ref[...] = jnp.maximum(s1f, kl.row_shift_down(t1x, 1, fill=kl.NEG))
+        h2_ref[...] = jnp.maximum(s2f, kl.row_shift_down(t2x, 1, fill=kl.NEG))
+        h3_ref[...] = jnp.maximum(s3f, kl.row_shift_down(t3x, 1, fill=kl.NEG))
+
+    H1 = h1_ref[...]
+    H2 = h2_ref[...]
+    H3 = h3_ref[...]
     if _cut(7, H1, H2, H3):
         return
 
@@ -369,14 +392,19 @@ def _kernel(
     if _cut(8, vals_ref[...], lidx_ref[...]):
         return
 
+    # wide groups + a trip count bounded by the block's actual compressed
+    # length (trailing rows past comp_len are never read by the host)
+    FV = 16 if OCR % 16 == 0 else 8
+    fgroups = (comp_len + FV * L - 1) // (FV * L)
+
     def fin_grp(g, _):
-        r0 = pl.multiple_of(g * 8, 8)
-        (pay8,) = kl.gather_rows_multi([(data, 8)], lidx_ref, r0)
-        v8 = vals_ref[pl.ds(r0, 8), :]
-        comp_ref[0, pl.ds(r0, 8), :] = jnp.where((v8 >> 8) & 1 > 0, pay8, v8 & 0xFF)
+        r0 = pl.multiple_of(g * FV, 8)
+        (pay8,) = kl.gather_rows_multi([(data, 8)], lidx_ref, r0, nrows=FV)
+        v8 = vals_ref[pl.ds(r0, FV), :]
+        comp_ref[0, pl.ds(r0, FV), :] = jnp.where((v8 >> 8) & 1 > 0, pay8, v8 & 0xFF)
         return 0
 
-    jax.lax.fori_loop(0, OCR // 8, fin_grp, 0)
+    jax.lax.fori_loop(0, fgroups, fin_grp, 0)
 
     meta_ref[b, 0] = comp_len
     meta_ref[b, 1] = fail
