@@ -388,6 +388,24 @@ def _kernel(
             jnp.clip(src0, 0, OCL - 1) + CI * L,
             jnp.where(islit_o & live, lidx, 0),
         )
+        # global banded path halving BEFORE the group loop: parent->parent
+        # composition is globally sound (chains strictly descend through the
+        # [comp; out] table), so short-hop chains collapse here in ONE pass
+        # over the whole (CO, L) table — (32,128)-sized in-group halving ops
+        # were dispatch-bound, costing nearly as much as full-table ones 8x
+        # over.  Parents within BWG rows hop to their grandparent via native
+        # lane gathers on row-shifted copies; comp-region parents (< CI*L,
+        # already-final literal sources) never move.
+        arow_g = jax.lax.broadcasted_iota(jnp.int32, (CO, L), 0) + CI
+        BWG = 3
+        for _i in range(3):
+            d_g = arow_g - _srl(parent, 7)
+            hop = parent
+            for dd in range(BWG + 1):
+                src = parent if dd == 0 else kl.row_shift_down(parent, dd)
+                gth = kl.lane_gather(src, parent & (L - 1))
+                hop = jnp.where((parent >= CI * L) & (d_g == dd), gth, hop)
+            parent = hop
         par_ref[...] = parent
         lidx_ref[...] = live.astype(jnp.int32) << 16
 
@@ -421,24 +439,10 @@ def _kernel(
 
             @pl.when(gflags_ref[g] > 0)
             def _():
-                lrow = jax.lax.broadcasted_iota(jnp.int32, (RG, L), 0)
-                arow = lrow + CI + r0
                 parg = par_ref[pl.ds(r0, RG), :]
-                # banded path halving: parents within BW rows up resolve
-                # with native lane gathers on row-shifted copies (an order
-                # of magnitude cheaper than one-hot doubling rounds); the
-                # adaptive while below only sees the rare long-range
-                # in-group parents
-                BW = 3
-                for _i in range(3):
-                    d = arow - _srl(parg, 7)
-                    hop = parg
-                    for dd in range(BW + 1):
-                        src = parg if dd == 0 else kl.row_shift_down(parg, dd)
-                        gth = kl.lane_gather(src, parg & (L - 1))
-                        hop = jnp.where((parg >= base) & (d == dd), gth, hop)
-                    parg = hop
-                par_ref[pl.ds(r0, RG), :] = parg
+                # short-hop chains already collapsed by the global banded
+                # halving above; the adaptive doubling below only sees the
+                # rare long-range in-group parents
 
                 # adaptive local doubling: convergence is "no parent still
                 # points in-group" (not "nothing changed"), which needs NO

@@ -304,9 +304,32 @@ def _kernel(
 
     jax.lax.fori_loop(0, ngroups, scat_grp, 0)
 
-    H0 = kl.scan2d_mm(h0_ref[...], op="max", bits=31)
-    H1 = kl.scan2d_mm(h1_ref[...], op="max", bits=31)
-    H2 = kl.scan2d_mm(h2_ref[...], op="max", bits=31)
+    # banded max-fill (block decoder's pattern): 5 row rounds cover tag
+    # spans < 32 rows (4 KiB); rare longer in-segment literals trigger the
+    # guarded row-doubling continuation
+    maxprod = jnp.max(jnp.where(tagi, tprod_m, 0))
+    H0f, s0s, t0s = kl.fill_max_rows(h0_ref[...], 31, 5)
+    H1f, s1s, t1s = kl.fill_max_rows(h1_ref[...], 31, 5)
+    H2f, s2s, t2s = kl.fill_max_rows(h2_ref[...], 31, 5)
+    h0_ref[...] = H0f
+    h1_ref[...] = H1f
+    h2_ref[...] = H2f
+
+    @pl.when(maxprod > 31 * L)
+    def _():
+        t0x, t1x, t2x = t0s, t1s, t2s
+        for r in range(5, 8):
+            if (1 << r) < CO:
+                t0x = jnp.maximum(t0x, kl.row_shift_down(t0x, 1 << r, fill=kl.NEG))
+                t1x = jnp.maximum(t1x, kl.row_shift_down(t1x, 1 << r, fill=kl.NEG))
+                t2x = jnp.maximum(t2x, kl.row_shift_down(t2x, 1 << r, fill=kl.NEG))
+        h0_ref[...] = jnp.maximum(s0s, kl.row_shift_down(t0x, 1, fill=kl.NEG))
+        h1_ref[...] = jnp.maximum(s1s, kl.row_shift_down(t1x, 1, fill=kl.NEG))
+        h2_ref[...] = jnp.maximum(s2s, kl.row_shift_down(t2x, 1, fill=kl.NEG))
+
+    H0 = h0_ref[...]
+    H1 = h1_ref[...]
+    H2 = h2_ref[...]
     key_o = H0 >> 15
     fresh = key_o >= 1
     # straddle fallback: cells before the first in-segment tag are covered by
