@@ -78,27 +78,36 @@ def main():
     dec_gbps = total / t_dec / 1e9
 
     # ---- whole-stream decompress of the reference golden stream ----
+    # The serving path (api._decompress_stream_routed): a native one-pass
+    # tag-boundary scan classifies the stream, reference-family streams ride
+    # the batched block kernel, output reassembles via the native compactor.
+    # Timed END TO END (host scan + device decode + host assembly) over
+    # DISTINCT streams each iteration (the relay short-circuits repeated
+    # identical dispatches; distinct inputs cannot be cached).
+    import time
+
+    from csnappy_tpu import api
+
     ulen, hdr = wire.varint_decode(golden)
-    body_np = np.frombuffer(golden[hdr:], np.uint8)
-    o, p, s = decode_stream.decompress_noheader_np(body_np, ulen)
-    assert s == 0 and p == n and o.tobytes() == data, (s, p)
-    CIT = decode_stream._round_up(len(body_np), 1024) // 128 + decode_stream.WINR + decode_stream.MAXW
-    CIT = decode_stream._round_up(CIT, 8)
-    NSEG = decode_stream._round_up(ulen, decode_stream.SEG) // decode_stream.SEG
-    wfn = decode_stream._compiled(CIT, NSEG)
-    warr = np.zeros((CIT, 128), np.uint8)
-    warr.reshape(-1)[: len(body_np)] = body_np
-    wcomp = jax.device_put(jnp.asarray(warr.astype(np.int32)))
-    wslen = jax.device_put(jnp.full((1,), len(body_np), np.int32))
-    wdlim = jax.device_put(jnp.full((1,), ulen, np.int32))
-
-    def wdec_step(k):
-        ck = wcomp.at[-1, 127].add(k & 63)
-        o2, m2 = wfn(wslen, wdlim, ck)
-        return m2[0, 0] + o2[0, 0, 0]
-
-    t_wdec = slope_time(wdec_step, k_lo=1, k_hi=3)
-    wdec_gbps = n / t_wdec / 1e9
+    body = golden[hdr:]
+    out_b = api.decompress_noheader(body, ulen)
+    assert out_b == data, "routed whole-stream decode mismatch"
+    variants = []
+    for v in range(4):
+        d2 = data[v * 1024 :] + data[: v * 1024]
+        s2 = encode_fused.compress_np(d2)
+        u2, h2 = wire.varint_decode(s2)
+        assert api.decompress_noheader(s2[h2:], u2) == d2
+        variants.append((s2[h2:], u2, len(d2)))
+    t0 = time.perf_counter()
+    REPS = 3
+    tot_bytes = 0
+    for _ in range(REPS):
+        for s2, u2, n2 in variants:
+            api.decompress_noheader(s2, u2)
+            tot_bytes += n2
+    t_wdec = (time.perf_counter() - t0)
+    wdec_gbps = tot_bytes / t_wdec / 1e9
 
     # ---- compress, batched 32KB fragments ----
     nb = (n + 32768 - 1) // 32768

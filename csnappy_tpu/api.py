@@ -99,6 +99,88 @@ def compress(data: bytes, backend: str | None = None,
     return out
 
 
+def _decompress_stream_routed(src: bytes, dst_len: int) -> tuple[int, bytes]:
+    """Whole-stream decode routing (dst_len > one block).
+
+    A native one-pass tag-boundary scan (csnappy_host_scan_segments) both
+    validates the stream (malformed/overrun fail fast, in sequential event
+    order, with no device pass) and classifies it:
+
+      * segmentable — every stream the reference's 32 KiB fragment loop can
+        emit (csnappy_compress.c:636-654): tags never straddle a 32 KiB
+        output boundary and copies never reach a prior segment.  These ride
+        the batched fused BLOCK decoder at full block-path speed.
+      * crossing — legal foreign streams whose tags/copies span segment
+        boundaries: the segmented fused stream decoder (history ring).
+      * far-offset — copy offsets > 32768 (foreign 64 KiB-block encoders):
+        beyond the 32 KiB history ring; the general XLA decoder.
+
+    Without the native runtime the scan is skipped and all streams take the
+    segmented decoder (with the general decoder as the E_DATA_MALFORMED
+    retry, as before).
+    """
+    from .errors import E_DATA_MALFORMED as _EDM
+
+    body = np.frombuffer(src, np.uint8)
+    rc = None
+    try:
+        from .runtime import native
+
+        if native.available():
+            rc, offs, produced = native.scan_segments(body, dst_len, wire.BLOCK_SIZE)
+    except Exception:
+        rc = None
+    if rc is not None and rc < 0:
+        return rc, b""                      # exact error, no device pass
+    if rc == 0:
+        from .ops import decode_fused
+        from .runtime import native
+
+        nseg = len(offs)
+        if nseg == 0:
+            return E_OK, b""
+        ends = np.empty(nseg, np.int64)
+        ends[:-1] = offs[1:]
+        ends[-1] = len(body)
+        flens = (ends - offs).astype(np.int32)
+        pieces = []
+        CHUNK = 512                         # blocks per device batch
+        for c0 in range(0, nseg, CHUNK):
+            c1 = min(c0 + CHUNK, nseg)
+            fl = flens[c0:c1]
+            arr = np.zeros((c1 - c0, int(fl.max())), np.uint8)
+            for i in range(c0, c1):
+                arr[i - c0, : flens[i]] = body[offs[i] : ends[i]]
+            out, prod, status = decode_fused.decode_blocks(arr, fl, wire.BLOCK_SIZE)
+            if (status != E_OK).any():      # defensive; scan pre-validated
+                return _EDM, b""
+            pieces.append(native.compact(out, prod.astype(np.uint32))
+                          if native.available()
+                          else b"".join(out[i, : prod[i]].tobytes()
+                                        for i in range(c1 - c0)))
+        res = b"".join(pieces)
+        return (E_OK, res) if len(res) == produced else (_EDM, b"")
+    if rc == 2:
+        from .ops import decode_jnp
+
+        out, produced, status = decode_jnp.decompress_noheader_np(body, dst_len)
+        return int(status), out.tobytes()
+    # rc == 1 (legal, crossing) or no native scan available
+    from .ops import decode_stream
+
+    out, produced, status = decode_stream.decompress_noheader_np(body, dst_len)
+    if int(status) == _EDM:
+        # scan-proven-legal (rc==1) stream outside the stream kernel's
+        # envelope, or no scan ran: re-decide on the general decoder so a
+        # legal stream never fails (scan-proven-MALFORMED streams returned
+        # above and never pay this)
+        from .ops import decode_jnp
+
+        out, produced, status = decode_jnp.decompress_noheader_np(body, dst_len)
+        return int(status), out.tobytes()
+    return int(status), out[:produced].tobytes()
+
+
 def decompress_noheader(src: bytes, dst_len: int, backend: str | None = None,
                         config: CodecConfig | None = None) -> bytes:
     """Safe headerless decode into at most ``dst_len`` bytes (csnappy.h:107-119)."""
@@ -127,21 +209,14 @@ def decompress_noheader(src: bytes, dst_len: int, backend: str | None = None,
             arr, np.array([len(src)], np.int32), max(dst_len, 1)
         )
         st, res = int(status[0]), out[0, : produced[0]].tobytes()
-    elif dst_len <= (1 << 23):
-        # whole-stream serving path: segmented fused decode, one pallas_call
-        from .ops import decode_stream
-
-        out, produced, status = decode_stream.decompress_noheader_np(
-            np.frombuffer(src, np.uint8), dst_len
-        )
-        st, res = int(status), out[:produced].tobytes()
     else:
-        st = _EDM
-        res = b""
-    if st == _EDM:
-        # the fast path rejects exotic-but-legal streams (offsets > 32767,
-        # >64KB single-tag advances) — re-decide on the general decoder so a
-        # legal stream never fails and a malformed one reports faithfully
+        # whole-stream: native scan routes to block / stream / general
+        # decoders and owns the legal-vs-malformed retry decision
+        st, res = _decompress_stream_routed(src, dst_len)
+    if st == _EDM and dst_len <= wire.BLOCK_SIZE:
+        # single-block residual envelope — re-decide on the general decoder
+        # so a legal stream never fails and a malformed one reports
+        # faithfully
         from .ops import decode_jnp
 
         out, produced, status = decode_jnp.decompress_noheader_np(

@@ -335,6 +335,10 @@ def _kernel(
 
         jax.lax.fori_loop(0, ngroups, scat_grp, 0)
 
+        if phases == 41:     # profiling: cover scatter done
+            cutacc.extend([h1_ref[0:8, :], h2_ref[0:8, :]])
+            continue
+
         # banded fill: 5 row rounds cover spans < 32 rows (4 KiB); rare
         # longer literal spans trigger the guarded continuation
         H1f, s1s, t1s = kl.fill_max_rows(h1_ref[...], 31, 5)
@@ -354,6 +358,9 @@ def _kernel(
 
         H1 = h1_ref[...]
         H2 = h2_ref[...]
+        if phases == 42:     # profiling: banded max fills done
+            cutacc.extend([H1[0:8, :], H2[0:8, :]])
+            continue
         key_o = _srl(H1, 15)
         valid_o = key_o >= 1
         t_os = key_o - 1
@@ -388,6 +395,9 @@ def _kernel(
             jnp.clip(src0, 0, OCL - 1) + CI * L,
             jnp.where(islit_o & live, lidx, 0),
         )
+        if phases == 43:     # profiling: analytic parents (pre-halving)
+            cutacc.extend([parent[0:8, :], ev_copy])
+            continue
         # global banded path halving BEFORE the group loop: parent->parent
         # composition is globally sound (chains strictly descend through the
         # [comp; out] table), so short-hop chains collapse here in ONE pass
@@ -502,7 +512,7 @@ def _kernel(
         meta_ref[b, 6] = jnp.int32(0)
         meta_ref[b, 7] = jnp.int32(0)
 
-    if phases in (3, 4):
+    if phases in (3, 4, 41, 42, 43):
         _cut(phases, *cutacc)
 
 

@@ -17,12 +17,14 @@ Copy resolution runs pointer doubling over a 512-row table: rows 0..255 are
 history (frozen — parents there are already final bytes), rows 256..511 the
 segment being built.
 
-Fast-path envelope: offsets <= 32767 and single-tag advances <= 65535 bytes
-(every reference-family encoder satisfies both; csnappy emits offsets
-< 32768 and literals <= 32768, csnappy_compress.c:75-86,636).  Exotic but
-legal foreign streams outside the envelope are REJECTED with
-E_DATA_MALFORMED — never silently corrupted — and api.decompress_noheader
-retries them on the general decoder.
+Fast-path envelope (round 3, VERDICT r2 #4): offsets <= 32768 (the full
+history ring, including exactly 32768) and single-tag advances to 2^24
+bytes — every stream any 32 KiB-block-family encoder can emit, plus all
+foreign streams except copy offsets > 32768 (64 KiB-block encoders) and
+single literals >= 16 MiB.  Those residuals are REJECTED with
+E_DATA_MALFORMED — never silently corrupted — and the api layer routes
+them to the general decoder (the native scan_segments pass classifies them
+up front, so they normally never reach this kernel at all).
 """
 from __future__ import annotations
 
@@ -122,33 +124,39 @@ def _kernel(
     t2 = b1 | (b2 << 8)
     t3 = t2 | (b3 << 16)
     tr = jnp.where(extra == 0, 0, jnp.where(extra == 1, b1, jnp.where(extra == 2, t2, t3)))
-    # a literal longer than the stream is always truncated; cap for packing
-    lit_too_big = islit & (u >= 60) & ((extra == 4) & (b4 > 0) | (tr + 1 > P))
-    lit_len = jnp.where(u >= 60, jnp.minimum(tr + 1, P), u + 1)
+    # trailers up to 3 bytes decode exactly; a 4th trailer byte > 0 means a
+    # single literal >= 2^24 — outside this kernel's envelope (the host
+    # scan proves such streams legal and the general decoder serves them)
+    lit_too_big = islit & (u >= 60) & (extra == 4) & (b4 > 0)
+    lit_len = jnp.where(u >= 60, tr + 1, u + 1)          # exact, <= 2^24
     hdr = jnp.where(
         islit, 1 + extra,
         jnp.where(kind == wire.TAG_COPY_1, 2, jnp.where(kind == wire.TAG_COPY_2, 3, 5)),
     )
     copy_len = jnp.where(kind == wire.TAG_COPY_1, (u & 7) + wire.MIN_MATCH, u + 1)
     off16 = jnp.where(kind == wire.TAG_COPY_1, ((u >> 3) << 8) | b1, t2)
+    # offsets 1..32768 resolve (32768 = full history ring; VERDICT r2 #4);
+    # 0 / >32768 / COPY_4 high bytes mark the copy bad — sequential-order
+    # malformation for 0, general-decoder fallback for legal far offsets
     off_ok = (kind != wire.TAG_COPY_4) | ((b3 == 0) & (b4 == 0))
-    off_ok = off_ok & (off16 <= 32768) & (off16 >= 0)
-    off_store = jnp.where(off_ok, jnp.minimum(off16, 32767 + 1), 0)
-    # NOTE: off == 32768 is representable and valid once 32K bytes exist;
-    # store 0x7FFF+1 compressed into 15 bits via the kf packing below is not
-    # possible, so offsets of exactly 32768 are folded to 0 (rejected) —
-    # matching the block decoder's <=32767 fast-path contract.
-    off_store = jnp.where(off_store > 32767, 0, off_store)
+    off_ok = off_ok & (off16 >= 1) & (off16 <= 32768)
+    off_bad = (~islit) & (~off_ok)
+    off_m1 = jnp.clip(off16 - 1, 0, 32767)               # 15-bit off-1
     pos_abs = kl.row_iota(WINR) + babs
     in_range = (pos_abs >= 0) & (pos_abs < slen)
-    prod = jnp.minimum(jnp.where(islit, lit_len, copy_len), SEG * 2 + 1)
-    prod = jnp.minimum(prod, 0xFFFF)
+    prod = jnp.where(islit, lit_len, copy_len)           # exact
     adv = hdr + jnp.where(islit, lit_len, 0)
-    adv_fit = adv <= 0xFFFF
-    perr = in_range & ((pos_abs + adv > slen) | lit_too_big | ~adv_fit)
-    ap_ref[0:WINR, :] = jnp.where(in_range & ~perr, prod | (adv << 16), 0)
+    perr = in_range & ((pos_abs + adv > slen) | lit_too_big)
+    # exact packing prod(<=2^24)<<4 | hdr<<1 | islit: the walk reconstructs
+    # adv = hdr + islit*prod with no 16-bit cap, so single-tag advances
+    # beyond 64 KiB stay on the fast path (VERDICT r2 #4)
+    ap_ref[0:WINR, :] = jnp.where(
+        in_range & ~perr, (prod << 4) | (hdr << 1) | islit, 0
+    )
     ap_ref[WINR:CIP, :] = jnp.zeros((MAXW, L), jnp.int32)
-    kf_ref[...] = islit.astype(jnp.int32) | (off_store << 1)
+    kf_ref[...] = (
+        islit.astype(jnp.int32) | (off_bad.astype(jnp.int32) << 1) | (off_m1 << 2)
+    )
     ls_ref[...] = jnp.clip(pos_abs + hdr, 0, (1 << 30) - 1)
 
     # ---------------------------------------------------------- walk
@@ -194,8 +202,8 @@ def _kernel(
             proceed = active & ~at_end & inwin
             iwc = jnp.clip(iw, 0, MAXW * L - 1)
             v = win_smem[iwc >> 7, iwc & (L - 1)]
-            adv_s = (v >> 16) & 0xFFFF
-            prod_s = v & 0xFFFF
+            prod_s = v >> 4
+            adv_s = ((v >> 1) & 7) + (v & 1) * prod_s
             take = proceed & (v != 0)
             iserr = proceed & (v == 0)
 
@@ -245,7 +253,7 @@ def _kernel(
     def fields_grp(g, _):
         r0 = pl.multiple_of(g * FN, 8)
         prod8, kf8 = kl.gather_rows_multi(
-            [(ap_t, 16), (kf_t, 16)], tpos_ref, r0, nrows=FN
+            [(ap_t, 29), (kf_t, 17)], tpos_ref, r0, nrows=FN
         )
         tprod_ref[pl.ds(r0, FN), :] = prod8
         tkf_ref[pl.ds(r0, FN), :] = kf8
@@ -266,13 +274,21 @@ def _kernel(
     jax.lax.fori_loop(0, ngroups, ls_grp, 0)
 
     tagi = kl.row_iota(TROWS) < ntags
-    tprod_m = jnp.where(tagi, tprod_ref[...] & 0xFFFF, 0)
+    # prod is exact to 2^24 in ap; the scan rides f32-exact saturating adds,
+    # so cap at 2*SEG+1 — only the segment-ENDING tag can exceed that (any
+    # earlier tag would have ended the segment), and its own output start
+    # uses the exclusive prefix, which the cap never touches
+    tprod_m = jnp.minimum(jnp.where(tagi, tprod_ref[...] >> 4, 0), SEG * 2 + 1)
     tin = kl.scan2d_mm(tprod_m, op="addsat", bits=24)     # within-segment sums
     tose_rel = (os0 - seg_start) + (tin - tprod_m)        # may start negative? no:
     # the walk enters this segment with os0 >= seg_start (tags are whole)
     tose_ref[...] = tose_rel
     total_abs = os_f
-    overrun = active_seg & jnp.any(tagi & ((os0 + tin) > dlim))
+    # os_f is the walk's EXACT output position — catches a single giant
+    # literal whose capped prod would slip past the tin check
+    overrun = active_seg & (
+        jnp.any(tagi & ((os0 + tin) > dlim)) | (os_f > dlim)
+    )
     ev_over_seg = jnp.where(overrun, dlim, BIG)
 
     # --------------------------------------------------- cover scatter+fill
@@ -282,9 +298,12 @@ def _kernel(
     key_d = tose_rel + 1
     live_tag = tagi & (tose_rel < SEG) & (tose_rel >= 0)
     tpos_ref[...] = jnp.where(live_tag, tose_rel, -1)
-    tprod_ref[...] = (key_d << 15) | ((kfd >> 1) & 0x7FFF)
+    tprod_ref[...] = (key_d << 15) | ((kfd >> 2) & 0x7FFF)   # off-1 (15b)
     tkf_ref[...] = (key_d << 15) | (lsd & 0x7FFF)
-    tls_ref[...] = (key_d << 15) | islit_d | (((lsd >> 15) & 7) << 1)
+    tls_ref[...] = (
+        (key_d << 15) | islit_d | (((lsd >> 15) & 7) << 1)
+        | (((kfd >> 1) & 1) << 4)                            # bad-copy bit
+    )
 
     zero = jnp.zeros((CO, L), jnp.int32)
     h0_ref[...] = zero
@@ -338,7 +357,8 @@ def _kernel(
     skf = carry[C_SKF]
     sls = carry[C_SLS]
     t_os_rel = jnp.where(fresh, key_o - 1, sos - seg_start)
-    off_o = jnp.where(fresh, H0 & 0x7FFF, (skf >> 1) & 0x7FFF)
+    off_o = jnp.where(fresh, H0 & 0x7FFF, (skf >> 2) & 0x7FFF) + 1  # off-1 undone
+    bad_o = jnp.where(fresh, (H2 >> 4) & 1, (skf >> 1) & 1) == 1
     lsv = jnp.where(
         fresh,
         (H1 & 0x7FFF) | (((H2 >> 1) & 7) << 15),
@@ -351,7 +371,7 @@ def _kernel(
     live = valid & (o_abs < jnp.minimum(total_abs, jnp.int32(seg_end)))
     is_copy = live & ~islit_o
     t_os_abs = t_os_rel + seg_start
-    copy_err = is_copy & ((off_o == 0) | (off_o > t_os_abs))
+    copy_err = is_copy & (bad_o | (off_o > t_os_abs))
     ev_copy = jnp.where(
         active_seg, jnp.min(jnp.where(copy_err, o_abs, BIG)), BIG
     )

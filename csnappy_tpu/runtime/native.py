@@ -53,6 +53,11 @@ def _lib() -> ctypes.CDLL:
     lib.csnappy_host_decompress_noheader.argtypes = [u8p, ctypes.c_uint32, u8p, u32p]
     lib.csnappy_host_compact.restype = ctypes.c_uint64
     lib.csnappy_host_compact.argtypes = [u8p, ctypes.c_uint32, ctypes.c_uint32, u32p, u8p]
+    lib.csnappy_host_scan_segments.restype = ctypes.c_int
+    lib.csnappy_host_scan_segments.argtypes = [
+        u8p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+        u32p, ctypes.c_uint32, u32p, u32p,
+    ]
     return lib
 
 
@@ -112,6 +117,33 @@ def decompress_noheader(data: bytes, dst_cap: int) -> bytes:
     )
     raise_for_code(rc)
     return out[: dlen.value].tobytes()
+
+
+SCAN_SEGMENTABLE = 0
+SCAN_CROSSING = 1
+
+
+def scan_segments(data: np.ndarray | bytes, dst_cap: int, seg: int = 32768):
+    """One-pass native tag-boundary scan (routing leg for whole-stream
+    decode).  Returns (rc, seg_offs, produced): rc 0 = the stream splits
+    into independent ``seg``-output blocks starting at compressed offsets
+    ``seg_offs``; rc 1 = legal-looking but crossing (a tag straddles a
+    boundary or a copy reaches a prior segment); any other rc is the exact
+    E_* error, decided in sequential stream order."""
+    lib = _lib()
+    src = np.ascontiguousarray(
+        np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) else data
+    )
+    max_segs = dst_cap // seg + 2
+    offs = np.zeros(max_segs, np.uint32)
+    nseg = ctypes.c_uint32(0)
+    produced = ctypes.c_uint32(0)
+    rc = lib.csnappy_host_scan_segments(
+        _as_u8p(src), len(src), dst_cap, seg,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), max_segs,
+        ctypes.byref(nseg), ctypes.byref(produced),
+    )
+    return rc, offs[: nseg.value].astype(np.int64), int(produced.value)
 
 
 def compact(padded: np.ndarray, lens: np.ndarray) -> bytes:

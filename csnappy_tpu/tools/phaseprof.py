@@ -17,8 +17,9 @@ import sys
 
 import numpy as np
 
-DEC_PHASES = {1: "parse", 2: "walk", 3: "fields", 4: "cover", 5: "parents",
-              99: "full"}
+DEC_PHASES = {1: "parse", 2: "walk", 3: "fields", 41: "cov_scatter",
+              42: "cov_fill", 43: "par_analytic", 4: "par_halved",
+              5: "resolve_par", 99: "full"}
 ENC_PHASES = {1: "prep", 2: "succ", 3: "pack", 4: "walk", 5: "fields",
               6: "sizes", 65: "scatter", 7: "hscans", 8: "valuation",
               99: "full"}
