@@ -57,16 +57,31 @@ def test_copy_across_segment_boundary():
     assert status == errors.E_OK and out.tobytes() == data
 
 
-def test_giant_literal_rejected_not_corrupted():
-    # >64KB single-tag advance: outside the fast-path envelope -> clean
-    # E_DATA_MALFORMED from the kernel, correct bytes via the API fallback
+def test_giant_literal_decodes_bit_exact():
+    # >64KB single-tag advance: the r3 envelope widening (full 2^24-byte
+    # tag advances) decodes this in the stream kernel directly — E_OK and
+    # bit-exact bytes, both raw and through the routed API
     rng = np.random.default_rng(4)
     raw = rng.integers(0, 256, 100000, dtype=np.uint8).tobytes()
     s = bytearray()
     wire.emit_literal(s, raw)
-    _, _, status = _dec(bytes(s), len(raw))
-    assert status == errors.E_DATA_MALFORMED
+    out, produced, status = _dec(bytes(s), len(raw))
+    assert status == errors.E_OK
+    assert out[:produced].tobytes() == raw
     assert api.decompress_noheader(bytes(s), len(raw)) == raw
+
+
+def test_past_envelope_literal_recovered_via_fallback():
+    # a single literal tag advancing past the 2^24-byte stream-kernel
+    # envelope: the kernel must reject it cleanly (no corruption) and the
+    # routed API must still produce correct bytes via the general decoder
+    n = (1 << 24) + 4096
+    raw = (b"\xa5\x5a\x01\xfe" * ((n + 3) // 4))[:n]
+    s = bytearray()
+    wire.emit_literal(s, raw)
+    _, _, status = _dec(bytes(s), n)
+    assert status == errors.E_DATA_MALFORMED
+    assert api.decompress_noheader(bytes(s), n) == raw
 
 
 def test_adversarial(baddata3):
