@@ -58,6 +58,7 @@ from . import primitives as prim
 L = 128
 INNER = 256       # walk steps per outer round (end checked between rounds)
 NOCAND = 0x7FFF   # candidate sentinel
+EXTRAS = 7        # carried LCP windows (direct LCP cap = 4 + 4*EXTRAS)
 
 
 def _trows(BS: int) -> int:
@@ -443,15 +444,19 @@ def _compiled(B: int, BR: int, hash_bits: int = 16, phases: int = 99):
         # exact most-recent-match: stable sort by the FULL 4-byte window
         # (signed order still groups equal windows; stability keeps
         # positions ascending) — no hash, no verification gather needed.
-        # The sort CARRIES the windows at p+4/p+8/p+12, so the match-length
+        # The sort CARRIES the windows at p+4/p+8/... so the match-length
         # extension beyond the guaranteed 4 bytes is an elementwise compare
         # against the sorted predecessor — the vector FindMatchLength
         # (csnappy_compress.c:252-295) costs no in-kernel gathers at all.
         # lexicographic (w, pos) keys replace a stable single-key sort
         # (pos is unique, so the order is identical); stability machinery
-        # measured 2-4x the cost of the extra key on this chip
+        # measured 2-4x the cost of the extra key on this chip.
+        # EXTRAS carried windows (r4): each costs ~6.3µs/block of sort time
+        # (records/phaseprof_r4_start.json); the staircase propagation
+        # below recovers long matches from short carried LCPs, so 4
+        # windows (20-byte direct LCP) beat r3's 7 on BOTH time and ratio.
         carried = jax.lax.sort(
-            (w, posf) + tuple(win(4 * k) for k in range(1, 8)),
+            (w, posf) + tuple(win(4 * k) for k in range(1, 1 + EXTRAS)),
             dimension=1, is_stable=False, num_keys=2,
         )
         ws, ps = carried[0], carried[1]
@@ -460,10 +465,10 @@ def _compiled(B: int, BR: int, hash_bits: int = 16, phases: int = 99):
         )
         scand = jnp.where(same, jnp.roll(ps, 1, axis=1), NOCAND)
 
-        # LCP against the sorted predecessor, all 7 carried windows in one
+        # LCP against the sorted predecessor, all carried windows in one
         # stacked pass (separate per-window rolls each materialize a full
         # (B, BS) array; the stacked form rolls once)
-        st = jnp.stack(carried[2:], axis=1)                  # (B, 7, BS)
+        st = jnp.stack(carried[2:], axis=1)                  # (B, EXTRAS, BS)
         xk = st ^ jnp.concatenate([st[:, :, :1], st[:, :, :-1]], axis=2)
         eqw = (xk == 0).astype(i32)
         teqk = jnp.where(
@@ -477,7 +482,7 @@ def _compiled(B: int, BR: int, hash_bits: int = 16, phases: int = 99):
             axis=1,
         )
         lcp = 4 + jnp.sum(pref * teqk, axis=1)
-        slcp = jnp.where(same, jnp.minimum(lcp, 32), 0)
+        slcp = jnp.where(same, lcp, 0)
         # un-sort via a single-key multi-operand sort (pos is unique)
         _, cand, lcpu = jax.lax.sort(
             (ps, scand, slcp), dimension=1, is_stable=False, num_keys=1
@@ -485,18 +490,38 @@ def _compiled(B: int, BR: int, hash_bits: int = 16, phases: int = 99):
         cand = cand & 0xFFFF
         blc = blens[:, None]
         has = (cand != NOCAND) & (posf + 4 <= blc) & (cand < posf)
-        # chain floor: consecutive candidate chains prove matching bytes
-        # with no byte comparisons (cand[p+1]==cand[p]+1 extends the exact
-        # 4-byte match at p by one byte, inductively)
+        # staircase propagation (r4, VERDICT r3 #4): when cand[p+1] ==
+        # cand[p] + 1 the exact 4-byte match at p extends through p+1's
+        # match, so ml(p) >= 1 + ml(p+1); inductively ml(p) >= (j - p) +
+        # lcp(j) for every j in p's consecutive-candidate run.  Computed
+        # as a reverse cummax of h(j) = j + lcp(j), segmented by run id
+        # (later runs penalized by K > any in-block h difference so they
+        # can never win across a break).  This both recovers the matches
+        # r3's hard 32-byte LCP cap truncated (the ratio regression,
+        # 350,322 vs r2's 346,059 B) and subsumes the old pure-run floor
+        # MIN_MATCH + runlen (= the j=nb term, lcp(nb) >= 4).
         candn = jnp.concatenate([cand[:, 1:], jnp.full((B, 1), NOCAND, i32)], axis=1)
         hasn = jnp.concatenate([has[:, 1:], jnp.zeros((B, 1), jnp.bool_)], axis=1)
         consec = has & hasn & (candn == cand + 1)
-        brk = jnp.where(consec, BS, posf)
-        nb = jax.lax.cummin(brk, axis=1, reverse=True)
+        # K must exceed any in-block h difference (BS + max lcp < 2^16) and
+        # keep rid*K inside int32 (rid < BS = 2^15, so K = 2^16 is the max)
+        K = 1 << 16
+        rid = jnp.cumsum((~consec).astype(i32), axis=1) - (~consec).astype(i32)
+        hstair = jnp.where(has, posf + lcpu, 0) - rid * K
+        segmax = jax.lax.cummax(hstair, axis=1, reverse=True) + rid * K
         cap = jnp.clip(blc - posf, 0, wire.MAX_COPY_LEN)
-        ml0 = jnp.minimum(
-            jnp.maximum(wire.MIN_MATCH + (nb - posf), lcpu), cap
-        )
+        ml0 = jnp.minimum(jnp.maximum(segmax - posf, lcpu), cap)
+        # lazy deferral (r4): the reference is strictly greedy
+        # (csnappy_compress.c:574-594 commits the first 4-byte match), but
+        # any commit schedule is conformant (csnappy_compress.c:221-227).
+        # Deferring one position costs <= 1 literal byte and pays when the
+        # next position's match is >= 2 longer; a deferred position simply
+        # loses its commit candidacy, so the walk lands on the longer
+        # match.  Pure dense ops; chains of deferrals need ml to keep
+        # growing by >= 2/step, so runaway literal runs cannot form.
+        mln = jnp.concatenate([ml0[:, 1:], jnp.zeros((B, 1), i32)], axis=1)
+        defer = has & hasn & (mln >= ml0 + 2)
+        has = has & ~defer
         in1 = (
             jnp.where(has, cand, NOCAND)
             | (jnp.where(has, ml0, 0) << 15)
