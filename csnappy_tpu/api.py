@@ -122,6 +122,17 @@ def _decompress_stream_routed(src: bytes, dst_len: int) -> tuple[int, bytes]:
     from .errors import E_DATA_MALFORMED as _EDM
 
     body = np.frombuffer(src, np.uint8)
+    # r4 fast path: the device-resident one-dispatch pipeline (on-device
+    # boundary scan + segmented fused decode, ops/decode_ws.py).  It
+    # serves every stream the reference's fragment loop can emit and
+    # returns None for anything else (straddling tags, far offsets,
+    # malformed, oversized) — those fall through to the exact-error
+    # routed legs below, so errors keep their sequential semantics.
+    from .ops import decode_ws
+
+    res = decode_ws.decompress_noheader_ws(body, dst_len)
+    if res is not None:
+        return E_OK, res
     rc = None
     try:
         from .runtime import native
@@ -132,6 +143,12 @@ def _decompress_stream_routed(src: bytes, dst_len: int) -> tuple[int, bytes]:
         rc = None
     if rc is not None and rc < 0:
         return rc, b""                      # exact error, no device pass
+
+    def decode_jnp_retry(body_, dlen_):
+        from .ops import decode_jnp
+
+        return decode_jnp.decompress_noheader_np(body_, dlen_)
+
     if rc == 0:
         from .ops import decode_fused
         from .runtime import native
@@ -152,14 +169,21 @@ def _decompress_stream_routed(src: bytes, dst_len: int) -> tuple[int, bytes]:
             for i in range(c0, c1):
                 arr[i - c0, : flens[i]] = body[offs[i] : ends[i]]
             out, prod, status = decode_fused.decode_blocks(arr, fl, wire.BLOCK_SIZE)
-            if (status != E_OK).any():      # defensive; scan pre-validated
-                return _EDM, b""
+            if (status != E_OK).any():
+                # defensive (scan pre-validated): a block-kernel disagreement
+                # on a scan-proven-legal stream re-decides on the general
+                # decoder instead of surfacing a bogus error (ADVICE r3)
+                out, produced2, status2 = decode_jnp_retry(body, dst_len)
+                return int(status2), out.tobytes()
             pieces.append(native.compact(out, prod.astype(np.uint32))
                           if native.available()
                           else b"".join(out[i, : prod[i]].tobytes()
                                         for i in range(c1 - c0)))
         res = b"".join(pieces)
-        return (E_OK, res) if len(res) == produced else (_EDM, b"")
+        if len(res) != produced:
+            out, produced2, status2 = decode_jnp_retry(body, dst_len)
+            return int(status2), out.tobytes()
+        return E_OK, res
     if rc == 2:
         from .ops import decode_jnp
 

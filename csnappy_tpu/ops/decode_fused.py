@@ -80,17 +80,42 @@ def _srl(x, k):
 
 
 def _kernel(
-    slen_ref, dlim_ref, comp_ref,                   # inputs
-    out_ref, meta_ref,                              # outputs
-    tp_ref, tf_ref, pt_ref, tpp_ref, tfp_ref,       # dense parse scratch (NB*CI, L)
-    tpos_ref, tpos2_ref,                            # step/partner positions (TROWS, L)
-    tp1_ref, tf1_ref, tp2_ref, tf2_ref,             # two-stream tag fields (TROWS, L)
-    h1_ref, h2_ref,                                 # cover scratch (CO, L)
-    par_ref, lidx_ref,                              # resolve scratch (CO, L)
-    big_ref,                                        # [comp; out] value table (CI+CO, L)
-    pt_smem, tag_smem, gflags_ref, sem,             # SMEM + DMA
-    *, CI: int, CO: int, phases: int = 99,
+    *refs,
+    CI: int, CO: int, phases: int = 99, streamed: bool = False, MR: int = 0,
 ):
+    """Fused block decode.  Two input layouts:
+
+    block mode (streamed=False): comp arrives pre-segmented as (NB, CI, L)
+    VMEM blocks per grid step (the zram/container serving shape).
+
+    stream mode (streamed=True, r4): comp is the WHOLE compressed stream
+    resident in HBM as (MR, L) int32 bytes plus per-block compressed
+    offsets (SMEM); each block DMAs its own CI+1-row window and
+    lane-aligns it on device.  This is the device-resident serving path
+    (csnappy_decompress.c:394-411 analog): no host segmentation, no
+    per-stream-shape recompiles (MR/CI/B are bucketed), one launch.
+    """
+    if streamed:
+        (slen_ref, dlim_ref, soffs_ref, stream_ref,
+         out_ref, meta_ref,
+         tp_ref, tf_ref, pt_ref, tpp_ref, tfp_ref,
+         tpos_ref, tpos2_ref,
+         tp1_ref, tf1_ref, tp2_ref, tf2_ref,
+         h1_ref, h2_ref,
+         par_ref, lidx_ref,
+         big_ref,
+         win_ref, compal_ref,
+         pt_smem, tag_smem, gflags_ref, sem) = refs
+    else:
+        (slen_ref, dlim_ref, comp_ref,
+         out_ref, meta_ref,
+         tp_ref, tf_ref, pt_ref, tpp_ref, tfp_ref,
+         tpos_ref, tpos2_ref,
+         tp1_ref, tf1_ref, tp2_ref, tf2_ref,
+         h1_ref, h2_ref,
+         par_ref, lidx_ref,
+         big_ref,
+         pt_smem, tag_smem, gflags_ref, sem) = refs
     P, OCL = CI * L, CO * L
     TROWS = _troWS(P)
     TGR = TROWS + 8                                 # tag region rows per block
@@ -119,7 +144,29 @@ def _kernel(
     for j in range(NB):
         b = gi * NB + j
         slen = slen_ref[b]
-        comp = comp_ref[j]                          # (CI, L) byte values
+        if streamed:
+            # window DMA from the HBM stream at this block's compressed
+            # offset, then a dynamic lane-alignment (offsets are byte-
+            # granular; rows are 128-wide): two native lane gathers +
+            # row-boundary select, ~0.5µs per block
+            soff = soffs_ref[b]
+            # caller pads the stream array so soff>>7 never exceeds
+            # MR - (CI+8); the clip is a belt only
+            r0 = jnp.clip(_srl(soff, 7), 0, MR - (CI + 8))
+            cpin = pltpu.make_async_copy(
+                stream_ref.at[pl.ds(r0, CI + 8)], win_ref, sem
+            )
+            cpin.start()
+            cpin.wait()
+            sl = soff & (L - 1)
+            lane_a = jax.lax.broadcasted_iota(jnp.int32, (CI, L), 1)
+            q_a = (lane_a + sl) & (L - 1)
+            g0 = kl.lane_gather(win_ref[0:CI, :], q_a)
+            g1 = kl.lane_gather(win_ref[1 : CI + 1, :], q_a)
+            comp = jnp.where(lane_a + sl < L, g0, g1)
+            compal_ref[pl.ds(j * CI, CI), :] = comp
+        else:
+            comp = comp_ref[j]                      # (CI, L) byte values
         b1 = kl.stream_shift_up_mm(comp, 1, bits=8)
         b2 = kl.stream_shift_up_mm(comp, 2, bits=8)
         b3 = kl.stream_shift_up_mm(comp, 3, bits=8)
@@ -249,7 +296,7 @@ def _kernel(
         b = gi * NB + j
         slen = slen_ref[b]
         dlim = dlim_ref[b]
-        comp = comp_ref[j]
+        comp = compal_ref[pl.ds(j * CI, CI), :] if streamed else comp_ref[j]
         nsteps = nsteps_all[j]
         malformed_walk = p_fs[j] != slen
 
@@ -570,6 +617,67 @@ def _compiled(B: int, CI: int, CO: int, phases: int = 99):
         )(slen, dlim, comp)
 
     return jax.jit(call)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_streamed(B: int, MR: int, CI: int, CO: int):
+    """Stream-mode decoder: comp = whole stream in HBM (MR, L) + per-block
+    offsets; blocks window-DMA + lane-align on device.  Shapes (B, MR, CI)
+    are BUCKETED by the caller so serving never recompiles per stream."""
+    assert B % NB == 0
+    TROWS = _troWS(CI * L)
+    kern = functools.partial(_kernel, CI=CI, CO=CO, streamed=True, MR=MR)
+    i32 = jnp.int32
+
+    def call(slen, dlim, soffs, stream):
+        return pl.pallas_call(
+            kern,
+            grid=(B // NB,),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, CO, L), i32),
+                jax.ShapeDtypeStruct((B, 8), i32),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec((NB, CO, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((NB * CI, L), i32),      # tp
+                pltpu.VMEM((NB * CI, L), i32),      # tf
+                pltpu.VMEM((NB * CI, L), i32),      # pt
+                pltpu.VMEM((NB * CI, L), i32),      # tpp
+                pltpu.VMEM((NB * CI, L), i32),      # tfp
+                pltpu.VMEM((TROWS, L), i32),        # tpos
+                pltpu.VMEM((TROWS, L), i32),        # tpos2
+                pltpu.VMEM((TROWS, L), i32),        # tp1
+                pltpu.VMEM((TROWS, L), i32),        # tf1
+                pltpu.VMEM((TROWS, L), i32),        # tp2
+                pltpu.VMEM((TROWS, L), i32),        # tf2
+                pltpu.VMEM((CO, L), i32),           # h1
+                pltpu.VMEM((CO, L), i32),           # h2
+                pltpu.VMEM((CO, L), i32),           # par
+                pltpu.VMEM((CO, L), i32),           # lidx
+                pltpu.VMEM((CI + CO, L), i32),      # big
+                pltpu.VMEM((CI + 8, L), i32),       # win (window DMA)
+                pltpu.VMEM((NB * CI, L), i32),      # compal (aligned comp)
+                pltpu.SMEM((NB * CI, L), i32),      # pair walk tables
+                pltpu.SMEM((NB * (TROWS + 8), L), i32),  # step buffers
+                pltpu.SMEM((max(CO // 8, 8) + 2,), i32),  # group flags
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
+            interpret=prim.interpret_mode(),
+        )(slen, dlim, soffs, stream)
+
+    return call
 
 
 def _round_up(n: int, m: int) -> int:

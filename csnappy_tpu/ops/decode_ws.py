@@ -1,0 +1,298 @@
+"""Device-resident whole-stream decode pipeline (r4, VERDICT r3 #1).
+
+The reference's primary serving entry point is whole-stream decode
+(csnappy_decompress.c:394-411).  Round 3 served it through a host-bound
+routing layer (native scan → per-segment Python assembly → chunked device
+calls) that collapsed to 0.0027 GB/s behind a high-latency host↔device
+link.  This module is the production-shaped replacement: the compressed
+stream lives in HBM, and ONE dispatched program
+
+  1. unpacks the 4-bytes-per-int32 transfer encoding (vector ops),
+  2. parses every byte position into a walk entry ``adv | prod << 16``
+     (dense XLA: the speculative-parse half of the block decoder's
+     phase 1, csnappy_decompress.c:345-381 semantics),
+  3. walks the real tag chain once on the scalar core (Pallas kernel,
+     SMEM windows DMA'd on demand), recording the compressed offset of
+     every 32 KiB output boundary branchlessly — the device analog of
+     csnappy_host_scan_segments — and flagging tags that straddle a
+     boundary,
+  4. decodes all segments with the fused block decoder in stream mode
+     (windows DMA'd from the HBM stream at the scan's offsets,
+     lane-aligned on device; ops/decode_fused.py), and
+  5. packs the output bytes 4-per-int32 for the return transfer.
+
+Every shape (stream rows MR, block count Bb, per-segment width CI) is
+bucketed geometrically, so serving NEVER recompiles per stream shape.
+
+Safety: the fast path serves exactly the streams the reference's 32 KiB
+fragment loop can emit (csnappy_compress.c:636-654).  Tags that would
+straddle a 32 KiB output boundary stall the scan walk (their parse entry
+is 0) or set the straddle flag; segments wider than the CI bucket are
+clamped and fail the per-block produced==expected check; any copy that
+reaches a prior segment fails the block decoder's offset>written check
+(csnappy_decompress.c:302).  EVERY failure returns None and the caller
+re-decodes on the exact-error routed path — a legal stream never fails
+and bytes are bit-exact or absent, never wrong.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models import wire
+from . import decode_fused
+from . import primitives as prim
+
+L = 128
+SEG = wire.BLOCK_SIZE          # 32768 output bytes per segment
+CO = SEG // L                  # 256
+W = 256                        # scan window rows (32768 stream positions)
+CHUNK_S = 256                  # walk steps per outer round
+MAX_FAST_MB = 64               # streams beyond this take the routed path
+
+
+def _srl(x, k):
+    return jax.lax.shift_right_logical(x, k)
+
+
+def _entries(byts: jnp.ndarray, slen) -> jnp.ndarray:
+    """Dense per-position walk entries for the boundary scan.
+
+    byts: (M,) int32 byte values.  entry = adv | prod << 16 when the tag
+    at that position is valid AND can belong to a segmentable stream
+    (adv <= SEG+5, prod <= SEG — anything larger must straddle a 32 KiB
+    output boundary); 0 otherwise (the walk stalls there and the host
+    falls back).  prod == SEG packs as bit 31 (negative int32); the walk
+    extracts it with logical shifts.
+    """
+    M = byts.shape[0]
+    ext = jnp.concatenate([byts, jnp.zeros((4,), jnp.int32)])
+    b0 = byts
+    b1, b2 = ext[1 : M + 1], ext[2 : M + 2]
+    b3, b4 = ext[3 : M + 3], ext[4 : M + 4]
+    kind = b0 & 3
+    u = b0 >> 2
+    islit = kind == wire.TAG_LITERAL
+    extra = jnp.clip(u - 59, 0, 4)
+    t2 = b1 | (b2 << 8)
+    t3 = t2 | (b3 << 16)
+    tr = jnp.where(extra == 0, 0, jnp.where(extra == 1, b1, jnp.where(extra == 2, t2, t3)))
+    lit_len = jnp.where(u >= 60, tr + 1, u + 1)
+    lit_bad = islit & (u >= 60) & (((extra == 4) & (b4 > 0)) | (tr + 1 > SEG))
+    hdr = jnp.where(
+        islit, 1 + extra,
+        jnp.where(kind == wire.TAG_COPY_1, 2, jnp.where(kind == wire.TAG_COPY_2, 3, 5)),
+    )
+    copy_len = jnp.where(kind == wire.TAG_COPY_1, (u & 7) + wire.MIN_MATCH, u + 1)
+    prod = jnp.where(islit, lit_len, copy_len)
+    adv = hdr + jnp.where(islit, lit_len, 0)
+    pos = jnp.arange(M, dtype=jnp.int32)
+    valid = (
+        (pos < slen) & (pos + adv <= slen)
+        & ~lit_bad & (prod <= SEG) & (adv <= SEG + 5)
+    )
+    return jnp.where(valid, adv | (prod << 16), 0)
+
+
+def _scan_kernel(sl_ref, ent_ref, seg_ref, meta_ref, win_smem, sem,
+                 *, MR: int, SEGCAP: int):
+    """One serial walk of the whole tag chain on the scalar core.
+
+    The chain is the only sequential physics in whole-stream decode
+    (csnappy_decompress.c:345: tag N's start depends on tag N-1's
+    length).  Entries stream through SMEM in W-row windows DMA'd on
+    demand.  Per step: one SMEM load, one branchless boundary store
+    (seg[(pp + SEG-1) >> 15] = p — the LAST writer of slot k is the
+    first tag of segment k), straddle accumulation, two adds.
+    """
+    slen = sl_ref[0]
+    MAX_ROUNDS = MR * L // (2 * CHUNK_S) + MR * 2 // W + 8
+
+    def ini(i, _):
+        seg_ref[i] = slen
+        return 0
+
+    jax.lax.fori_loop(0, SEGCAP + 8, ini, 0)
+
+    def cond(c):
+        return (c[5] == 0) & (c[4] < MAX_ROUNDS)
+
+    def body(c):
+        p0, pp0, bad0, wbr0, rounds, _d = c
+        need = (p0 - wbr0 * L >= (W // 2) * L) | (rounds == 0)
+        wbr = jnp.where(need, jnp.clip(_srl(p0, 7), 0, MR - W), wbr0)
+
+        @pl.when(need)
+        def _():
+            cp = pltpu.make_async_copy(ent_ref.at[pl.ds(wbr, W)], win_smem, sem)
+            cp.start()
+            cp.wait()
+
+        base = wbr * L
+
+        def step(i, s):
+            p, pp, bad = s
+            rel = p - base
+            relc = jnp.minimum(rel, W * L - 1)
+            v = win_smem[_srl(relc, 7), relc & (L - 1)]
+            v = jnp.where(rel < W * L, v, 0)
+            idx = jnp.minimum(_srl(pp + SEG - 1, 15), SEGCAP + 7)
+            seg_ref[idx] = p
+            prd = _srl(v, 16)
+            live = (v != 0).astype(jnp.int32)
+            bad = bad | (live * (_srl(pp, 15) ^ _srl(pp + prd - 1, 15)))
+            return p + (v & 0xFFFF), pp + prd, bad
+
+        p1, pp1, bad1 = jax.lax.fori_loop(0, CHUNK_S, step, (p0, pp0, bad0))
+        # window refresh guarantees p0 is in-window at round start, so a
+        # full-round stall (p1 == p0) means entry(p0) == 0: either the
+        # clean end (p0 == slen) or a stream outside the fast envelope
+        done = ((p1 >= slen) | (p1 == p0)).astype(jnp.int32)
+        return p1, pp1, bad1, wbr, rounds + 1, done
+
+    z = jnp.int32(0)
+    p_f, pp_f, bad_f, _w, rounds_f, _d = jax.lax.while_loop(
+        cond, body, (z, z, z, jnp.int32(-(1 << 20)), z, z)
+    )
+    meta_ref[0] = p_f
+    meta_ref[1] = pp_f
+    meta_ref[2] = bad_f
+    meta_ref[3] = rounds_f
+
+
+@functools.lru_cache(maxsize=16)
+def _scan_compiled(MR: int, SEGCAP: int):
+    kern = functools.partial(_scan_kernel, MR=MR, SEGCAP=SEGCAP)
+    i32 = jnp.int32
+
+    def call(slen_arr, ent):
+        return pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((SEGCAP + 8,), i32),
+                jax.ShapeDtypeStruct((8,), i32),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            scratch_shapes=[
+                pltpu.SMEM((W, L), i32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=prim.interpret_mode(),
+        )(slen_arr, ent)
+
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _pipeline(MR: int, Bb: int, CI: int):
+    """One jitted program: unpack → parse → scan walk → segmented fused
+    decode → pack.  (MR, Bb, CI) are bucketed by the caller."""
+    scanfn = _scan_compiled(MR, Bb)
+    decfn = decode_fused._compiled_streamed(Bb, MR, CI, CO)
+
+    def run(packed, slen, dlen):
+        x = packed
+        byts = jnp.stack(
+            [x & 255, _srl(x, 8) & 255, _srl(x, 16) & 255, _srl(x, 24) & 255],
+            axis=1,
+        ).reshape(MR * L)
+        ent = _entries(byts, slen)
+        seg, smeta = scanfn(jnp.full((1,), slen, jnp.int32), ent.reshape(MR, L))
+        k = jnp.arange(Bb, dtype=jnp.int32)
+        nseg = (dlen + SEG - 1) // SEG
+        soffs = jnp.where(k < nseg, seg[:Bb], slen)
+        ends = jnp.where(k + 1 < nseg, seg[1 : Bb + 1], slen)
+        flens = jnp.clip(jnp.where(k < nseg, ends - soffs, 0), 0, CI * L)
+        dlim = jnp.clip(dlen - k * SEG, 1, SEG)
+        out, meta = decfn(flens, dlim, soffs, byts.reshape(MR, L))
+        wrds = out.reshape(-1, 4)
+        packed_out = wrds[:, 0] | (wrds[:, 1] << 8) | (wrds[:, 2] << 16) | (wrds[:, 3] << 24)
+        return packed_out, meta, smeta, seg
+
+    return jax.jit(run)
+
+
+def _geom(n: int, lo: int) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _bucket_b(n: int) -> int:
+    """Block-count buckets: multiples of 8 up to 72 (fine — padded blocks
+    pay full vector-phase cost), then x1.5 geometric (compile-count
+    bounded for large streams)."""
+    if n <= 72:
+        return (n + 7) // 8 * 8
+    b = 72
+    while b < n:
+        b = (b * 3 // 2 + 7) // 8 * 8
+    return b
+
+
+def plan(src_len: int, dst_len: int, wide: bool = False):
+    """Bucketed pipeline shapes for a stream: (MR, Bb, CI) or None if the
+    stream is outside the fast path's envelope."""
+    nseg = (dst_len + SEG - 1) // SEG
+    if (nseg < 2 or src_len > MAX_FAST_MB << 20 or src_len < 2
+            or dst_len > 128 << 20):
+        return None
+    avg = src_len / nseg
+    # compressible-profile bucket unless the average segment is already
+    # close to it; a mixed stream that mispredicts costs one retry at the
+    # full width (decompress_noheader_ws), never correctness
+    CI = 312 if wide or (avg * 1.15 + 256 > 160 * L) else 160
+    MR = _geom((src_len + (CI + 10) * L + L - 1) // L + 1, 512)
+    Bb = _bucket_b(nseg + 1)
+    return MR, Bb, CI
+
+
+def decompress_noheader_ws(src: bytes | np.ndarray, dst_len: int,
+                           wide: bool = False) -> bytes | None:
+    """Device fast path for whole-stream decode.  Returns the decoded
+    bytes on VERIFIED success (scan consumed the stream exactly, no
+    straddle, every segment E_OK with exactly the expected produced
+    length), else None — the caller falls back to the exact-error routed
+    path.  Never returns wrong bytes."""
+    buf = np.frombuffer(src, np.uint8) if isinstance(src, (bytes, bytearray)) else src
+    M = len(buf)
+    shapes = plan(M, dst_len, wide)
+    if shapes is None:
+        return None
+    MR, Bb, CI = shapes
+    nseg = (dst_len + SEG - 1) // SEG
+    arr = np.zeros(MR * L, np.uint8)
+    arr[:M] = buf
+    fn = _pipeline(MR, Bb, CI)
+    out_packed, meta, smeta, seg = jax.device_get(
+        fn(jnp.asarray(arr.view(np.int32)), jnp.int32(M), jnp.int32(dst_len))
+    )
+    if smeta[2] != 0 or smeta[0] != M or smeta[1] != dst_len:
+        return None
+    offs = seg[:nseg].astype(np.int64)
+    fends = np.append(offs[1:], M)
+    if ((fends - offs) > CI * L).any():
+        # width-bucket miss (a legal segment compressed wider than the
+        # compressible-profile bucket): retry once at the full width
+        return None if wide else decompress_noheader_ws(buf, dst_len, wide=True)
+    exp = np.minimum(dst_len - np.arange(nseg, dtype=np.int64) * SEG, SEG)
+    if (meta[:nseg, 1] != 0).any() or (meta[:nseg, 0] != exp).any():
+        return None
+    return out_packed.view(np.uint8)[:dst_len].tobytes()
+
+
+prim.register_trace_cache(_pipeline)
+prim.register_trace_cache(_scan_compiled)

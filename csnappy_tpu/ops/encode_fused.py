@@ -483,11 +483,14 @@ def _compiled(B: int, BR: int, hash_bits: int = 16, phases: int = 99):
         )
         lcp = 4 + jnp.sum(pref * teqk, axis=1)
         slcp = jnp.where(same, lcp, 0)
-        # un-sort via a single-key multi-operand sort (pos is unique)
-        _, cand, lcpu = jax.lax.sort(
-            (ps, scand, slcp), dimension=1, is_stable=False, num_keys=1
+        # un-sort via a single-key sort (pos is unique); cand (15b) and
+        # lcp (6b, <= 4+4*EXTRAS) ride packed in ONE carried operand —
+        # each sort operand costs ~6µs/block (records/phaseprof_r4)
+        _, upk = jax.lax.sort(
+            (ps, scand | (slcp << 15)), dimension=1, is_stable=False, num_keys=1
         )
-        cand = cand & 0xFFFF
+        cand = upk & 0x7FFF
+        lcpu = _srl(upk, 15) & 0x3F
         blc = blens[:, None]
         has = (cand != NOCAND) & (posf + 4 <= blc) & (cand < posf)
         # staircase propagation (r4, VERDICT r3 #4): when cand[p+1] ==
