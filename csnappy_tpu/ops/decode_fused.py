@@ -216,11 +216,16 @@ def _kernel(
         rowd = (lane + adv) >> 7
         adv2 = jnp.where(small, jnp.where(rowd == 0, nx_same, nx_next), 0)
         paired = adv2 > 0
-        pt_ref[pl.ds(j * CI, CI), :] = jnp.where(
+        # pair-table regions are strided CI+1 rows with a zeroed guard row
+        # at local position P: the walk can then read at p == slen == P
+        # (self-terminating) with NO per-step clamp, and track positions
+        # pre-offset by the region base with NO per-step base add
+        pt_ref[pl.ds(j * (CI + 1), CI), :] = jnp.where(
             valid,
             jnp.where(paired, (adv + adv2) | (adv << 17), adv),
             0,
         )
+        pt_ref[pl.ds(j * (CI + 1) + CI, 1), :] = jnp.zeros((1, L), jnp.int32)
         # partner fields precomputed densely (two lane gathers each), so
         # the fields phase serves BOTH tag streams from ONE row-gather call
         # with a single shared one-hot mask
@@ -230,7 +235,7 @@ def _kernel(
         tfp = jnp.where(rowd == 0, kl.lane_gather(tfv, q_l), kl.lane_gather(tfn, q_l))
         tpp_ref[pl.ds(j * CI, CI), :] = jnp.where(paired, tpp, 0)
         tfp_ref[pl.ds(j * CI, CI), :] = jnp.where(paired, tfp, 0)
-        cut1.extend([tp_ref[pl.ds(j * CI, 8), :], pt_ref[pl.ds(j * CI, 8), :]])
+        cut1.extend([tp_ref[pl.ds(j * CI, 8), :], pt_ref[pl.ds(j * (CI + 1), 8), :]])
 
     cpd = pltpu.make_async_copy(pt_ref, pt_smem, sem)
     cpd.start()
@@ -242,10 +247,14 @@ def _kernel(
     # ------------------------------------------------------------- 2. walk
     # four interleaved chains (one per block): the dependent SMEM load
     # chains are independent across blocks, so the scalar unit overlaps
-    # their latencies.  A finished or stalled chain reads entry 0 and stops
-    # advancing (re-storing its last tag slot harmlessly) until all four
-    # are done.
-    slens = [slen_ref[gi * NB + j] for j in range(NB)]
+    # their latencies.  A finished or stalled chain reads the zeroed guard
+    # row and stops advancing (re-storing its last tag slot harmlessly)
+    # until all four are done.  Positions and tag counters carry their
+    # region bases (p in [BASE_j, BASE_j + P], tc in [TBASE_j, ...]) so the
+    # hot step is exactly: load, store, two adds, one compare per chain.
+    BASEW = [j * (CI + 1) * L for j in range(NB)]
+    TBASE = [j * TGR * L for j in range(NB)]
+    ends = [slen_ref[gi * NB + j] + BASEW[j] for j in range(NB)]
 
     def outer_cond(c):
         rounds, done = c[0], c[1]
@@ -262,13 +271,8 @@ def _kernel(
             nps, ntcs = [], []
             for j in range(NB):
                 p, tc = ps[j], tcs[j]
-                # clamp: p can legally reach P exactly; pt[j*P + P-1] is
-                # always 0 (min tag advance is 2), so the clamped read
-                # self-terminates
-                pc = jnp.minimum(p, P - 1) + j * P
-                v = pt_smem[pc >> 7, pc & (L - 1)]
-                tslot = j * TGR * L + tc
-                tag_smem[tslot >> 7, tslot & (L - 1)] = p
+                v = pt_smem[p >> 7, p & (L - 1)]
+                tag_smem[tc >> 7, tc & (L - 1)] = p
                 ntcs.append(tc + (v != 0).astype(jnp.int32))
                 nps.append(p + (v & 0x1FFFF))
             return tuple(nps) + tuple(ntcs)
@@ -278,14 +282,16 @@ def _kernel(
         tcs = res[NB:]
         done = jnp.int32(1)
         for j in range(NB):
-            done = done & ((ps[j] == slens[j]) | (ps[j] == ps0[j])).astype(jnp.int32)
+            done = done & ((ps[j] == ends[j]) | (ps[j] == ps0[j])).astype(jnp.int32)
         return (rounds + 1, done) + tuple(ps) + tuple(tcs)
 
     z = jnp.int32(0)
-    init = (z, z) + (z,) * (2 * NB)
+    init = (z, z) + tuple(jnp.int32(b_) for b_ in BASEW) + tuple(
+        jnp.int32(t_) for t_ in TBASE
+    )
     fin = jax.lax.while_loop(outer_cond, outer_body, init)
-    p_fs = fin[2:2 + NB]
-    nsteps_all = fin[2 + NB:2 + 2 * NB]
+    p_fs = [fin[2 + j] - BASEW[j] for j in range(NB)]
+    nsteps_all = [fin[2 + NB + j] - TBASE[j] for j in range(NB)]
 
     if _cut(2, *p_fs, *nsteps_all):
         return
@@ -324,6 +330,7 @@ def _kernel(
             tpg, tfg, tpg2, tfg2 = kl.gather_rows_multi(
                 [(tp_t, 17), (tf_t, 16), (tpp_t, 17), (tfp_t, 16)],
                 tpos_ref, r0, nrows=FN,
+                pre=lambda r: r - BASEW[j],   # walk stores region-based p
             )
             tp1_ref[pl.ds(r0, FN), :] = tpg
             tf1_ref[pl.ds(r0, FN), :] = tfg
@@ -471,6 +478,9 @@ def _kernel(
             continue
 
         # ------------------------------------------------------ 5. resolve
+        # RG=32 is the measured sweet spot: RG=64 raised resolve 1.27 ->
+        # 1.57 ms/32blk (deeper in-group chains cost more doubling than the
+        # halved per-group overhead saves) — r4 A/B on urls.10K
         RG = next(n for n in (32, 16, 8) if CO % n == 0)
         NRG = CO // RG
         LOCAL_MAX = 18  # adaptive cap: in-group chain depth after halving
@@ -591,7 +601,7 @@ def _compiled(B: int, CI: int, CO: int, phases: int = 99):
             scratch_shapes=[
                 pltpu.VMEM((NB * CI, L), i32),      # tp
                 pltpu.VMEM((NB * CI, L), i32),      # tf
-                pltpu.VMEM((NB * CI, L), i32),      # pt
+                pltpu.VMEM((NB * (CI + 1), L), i32),  # pt (strided, guard rows)
                 pltpu.VMEM((NB * CI, L), i32),      # tpp (partner prod)
                 pltpu.VMEM((NB * CI, L), i32),      # tfp (partner field)
                 pltpu.VMEM((TROWS, L), i32),        # tpos (step positions)
@@ -605,7 +615,7 @@ def _compiled(B: int, CI: int, CO: int, phases: int = 99):
                 pltpu.VMEM((CO, L), i32),           # par
                 pltpu.VMEM((CO, L), i32),           # lidx (live bits)
                 pltpu.VMEM((CI + CO, L), i32),      # big: [comp; out] values
-                pltpu.SMEM((NB * CI, L), i32),      # pair walk tables
+                pltpu.SMEM((NB * (CI + 1), L), i32),  # pair walk tables
                 pltpu.SMEM((NB * (TROWS + 8), L), i32),  # step buffers
                 pltpu.SMEM((max(CO // 8, 8) + 2,), i32),  # group flags + counters
                 pltpu.SemaphoreType.DMA,
@@ -650,7 +660,7 @@ def _compiled_streamed(B: int, MR: int, CI: int, CO: int):
             scratch_shapes=[
                 pltpu.VMEM((NB * CI, L), i32),      # tp
                 pltpu.VMEM((NB * CI, L), i32),      # tf
-                pltpu.VMEM((NB * CI, L), i32),      # pt
+                pltpu.VMEM((NB * (CI + 1), L), i32),  # pt (strided, guard rows)
                 pltpu.VMEM((NB * CI, L), i32),      # tpp
                 pltpu.VMEM((NB * CI, L), i32),      # tfp
                 pltpu.VMEM((TROWS, L), i32),        # tpos
@@ -666,7 +676,7 @@ def _compiled_streamed(B: int, MR: int, CI: int, CO: int):
                 pltpu.VMEM((CI + CO, L), i32),      # big
                 pltpu.VMEM((CI + 8, L), i32),       # win (window DMA)
                 pltpu.VMEM((NB * CI, L), i32),      # compal (aligned comp)
-                pltpu.SMEM((NB * CI, L), i32),      # pair walk tables
+                pltpu.SMEM((NB * (CI + 1), L), i32),  # pair walk tables
                 pltpu.SMEM((NB * (TROWS + 8), L), i32),  # step buffers
                 pltpu.SMEM((max(CO // 8, 8) + 2,), i32),  # group flags
                 pltpu.SemaphoreType.DMA,

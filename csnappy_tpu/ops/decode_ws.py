@@ -14,8 +14,7 @@ stream lives in HBM, and ONE dispatched program
   3. walks the real tag chain once on the scalar core (Pallas kernel,
      SMEM windows DMA'd on demand), recording the compressed offset of
      every 32 KiB output boundary branchlessly — the device analog of
-     csnappy_host_scan_segments — and flagging tags that straddle a
-     boundary,
+     csnappy_host_scan_segments,
   4. decodes all segments with the fused block decoder in stream mode
      (windows DMA'd from the HBM stream at the scan's offsets,
      lane-aligned on device; ops/decode_fused.py), and
@@ -25,12 +24,14 @@ Every shape (stream rows MR, block count Bb, per-segment width CI) is
 bucketed geometrically, so serving NEVER recompiles per stream shape.
 
 Safety: the fast path serves exactly the streams the reference's 32 KiB
-fragment loop can emit (csnappy_compress.c:636-654).  Tags that would
-straddle a 32 KiB output boundary stall the scan walk (their parse entry
-is 0) or set the straddle flag; segments wider than the CI bucket are
-clamped and fail the per-block produced==expected check; any copy that
-reaches a prior segment fails the block decoder's offset>written check
-(csnappy_decompress.c:302).  EVERY failure returns None and the caller
+fragment loop can emit (csnappy_compress.c:636-654).  Oversized tags
+(adv/prod > one segment) stall the scan walk via a zero parse entry;
+smaller tags that still straddle a 32 KiB output boundary leave their
+segment's block decode short, failing the produced==expected check;
+segments wider than the CI bucket are clamped and fail the same check;
+any copy that reaches a prior segment fails the block decoder's
+offset>written check (csnappy_decompress.c:302).  EVERY failure returns
+None and the caller
 re-decodes on the exact-error routed path — a legal stream never fails
 and bytes are bit-exact or absent, never wrong.
 """
@@ -108,7 +109,7 @@ def _scan_kernel(sl_ref, ent_ref, seg_ref, meta_ref, win_smem, sem,
     length).  Entries stream through SMEM in W-row windows DMA'd on
     demand.  Per step: one SMEM load, one branchless boundary store
     (seg[(pp + SEG-1) >> 15] = p — the LAST writer of slot k is the
-    first tag of segment k), straddle accumulation, two adds.
+    first tag of segment k), two adds.
     """
     slen = sl_ref[0]
     MAX_ROUNDS = MR * L // (2 * CHUNK_S) + MR * 2 // W + 8
@@ -136,24 +137,26 @@ def _scan_kernel(sl_ref, ent_ref, seg_ref, meta_ref, win_smem, sem,
         base = wbr * L
 
         def step(i, s):
-            p, pp, bad = s
+            # straddling tags need no runtime tracking: a tag crossing a
+            # 32 KiB output boundary makes its segment's block decode
+            # produce < 32768 bytes, which the caller's produced==expected
+            # check rejects — so the walk stays minimal (1 load, 1 store,
+            # 2 adds, the window guard, and the boundary-slot index)
+            p, pp = s
             rel = p - base
             relc = jnp.minimum(rel, W * L - 1)
             v = win_smem[_srl(relc, 7), relc & (L - 1)]
             v = jnp.where(rel < W * L, v, 0)
             idx = jnp.minimum(_srl(pp + SEG - 1, 15), SEGCAP + 7)
             seg_ref[idx] = p
-            prd = _srl(v, 16)
-            live = (v != 0).astype(jnp.int32)
-            bad = bad | (live * (_srl(pp, 15) ^ _srl(pp + prd - 1, 15)))
-            return p + (v & 0xFFFF), pp + prd, bad
+            return p + (v & 0xFFFF), pp + _srl(v, 16)
 
-        p1, pp1, bad1 = jax.lax.fori_loop(0, CHUNK_S, step, (p0, pp0, bad0))
+        p1, pp1 = jax.lax.fori_loop(0, CHUNK_S, step, (p0, pp0))
         # window refresh guarantees p0 is in-window at round start, so a
         # full-round stall (p1 == p0) means entry(p0) == 0: either the
         # clean end (p0 == slen) or a stream outside the fast envelope
         done = ((p1 >= slen) | (p1 == p0)).astype(jnp.int32)
-        return p1, pp1, bad1, wbr, rounds + 1, done
+        return p1, pp1, bad0, wbr, rounds + 1, done
 
     z = jnp.int32(0)
     p_f, pp_f, bad_f, _w, rounds_f, _d = jax.lax.while_loop(
