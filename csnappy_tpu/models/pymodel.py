@@ -225,6 +225,43 @@ def compress_fragment(data: bytes) -> bytes:
     return bytes(out)
 
 
+def compress_fragment_table(data: bytes, table_bits: int = 12) -> bytes:
+    """Second, independent in-model match-finder: a lossy 2^table_bits
+    single-probe hash table (the reference model ships the same pair —
+    exhaustive dict vs lossy table, pysnappy_compress.py:42-96 — proving
+    that ANY match strategy emits a conformant stream,
+    csnappy_compress.c:221-227).  Collisions silently drop older
+    candidates, exactly like the C encoder's table (csnappy_compress.c:
+    535-551); the hash is the reference's multiplier (:228-232).
+    """
+    n = len(data)
+    if n > wire.BLOCK_SIZE:
+        raise ValueError("fragment larger than 32 KiB")
+    out = bytearray()
+    if n == 0:
+        return bytes(out)
+    shift = 32 - table_bits
+    table = [-1] * (1 << table_bits)
+    i, next_emit = 0, 0
+    while i + wire.MIN_MATCH <= n:
+        w = int.from_bytes(data[i : i + 4], "little")
+        h = ((w * 0x1E35A7BD) & 0xFFFFFFFF) >> shift
+        cand = table[h]
+        table[h] = i
+        if cand < 0 or data[cand : cand + 4] != data[i : i + 4]:
+            i += 1
+            continue
+        ml = 4
+        while i + ml < n and data[cand + ml] == data[i + ml]:
+            ml += 1
+        wire.emit_literal(out, data[next_emit:i])
+        wire.emit_copy(out, i - cand, ml)
+        i += ml
+        next_emit = i
+    wire.emit_literal(out, data[next_emit:n])
+    return bytes(out)
+
+
 def compress(data: bytes, block_size: int = wire.BLOCK_SIZE) -> bytes:
     """Whole-stream encode: varint preamble + independent ≤32 KiB fragments
     (csnappy_compress.c:621-656 semantics)."""

@@ -138,3 +138,24 @@ class TestStreamingDecode:
             pymodel.decompress_stream(comp, lambda c: None, 1 << 20, window=256)
         except errors.SnappyError as e:
             assert e.code == errors.E_DATA_MALFORMED
+
+
+def test_second_matcher_table(urls10k):
+    # the lossy-table matcher (second independent model match-finder, the
+    # pysnappy_compress.py:71-96 analog): any strategy must emit a
+    # conformant stream that the oracle decodes bit-exact
+    data = urls10k[:32768]
+    frag_dict = pymodel.compress_fragment(data)
+    frag_tab = pymodel.compress_fragment_table(data)
+    assert pymodel.decompress_noheader(frag_tab, len(data)) == data
+    assert frag_dict != frag_tab              # genuinely different strategies
+    # lossy table compresses worse than the exhaustive dict, like the
+    # reference pair, but must still compress real text
+    assert len(frag_dict) <= len(frag_tab) < len(data)
+
+
+def test_second_matcher_roundtrip_patterns():
+    for data in (b"", b"a", b"ab" * 5000, bytes(range(256)) * 10,
+                 b"\x00" * 4000, b"abcabcabcabcx" * 100):
+        frag = pymodel.compress_fragment_table(data)
+        assert pymodel.decompress_noheader(frag, len(data)) == data
