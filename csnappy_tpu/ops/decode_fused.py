@@ -366,10 +366,14 @@ def _kernel(
         maxprod = jnp.max(jnp.where(stepm, jnp.maximum(prod1, prod2), 0))
         tpos_ref[...] = jnp.where(live1, tose1, -1)               # reused: sposA
         tpos2_ref[...] = jnp.where(live2, tose2, -1)              # reused: sposB
+        # h2 records carry only 2 payload bits, so their key rides at
+        # bit 2 (18-bit values, 3 scatter limbs instead of 5); winners
+        # stay consistent with h1 because ordering is key-dominant and
+        # keys (tose+1) are unique across both streams
         tp1_ref[...] = (key1 << 15) | (fld1 & 0x7FFF)             # s1A
-        tf1_ref[...] = (key1 << 15) | ((_srl(fld1, 15) & 1) << 1) | islit1  # s2A
+        tf1_ref[...] = (key1 << 2) | ((_srl(fld1, 15) & 1) << 1) | islit1  # s2A
         tp2_ref[...] = (key2 << 15) | (fld2 & 0x7FFF)             # s1B
-        tf2_ref[...] = (key2 << 15) | ((_srl(fld2, 15) & 1) << 1) | islit2  # s2B
+        tf2_ref[...] = (key2 << 2) | ((_srl(fld2, 15) & 1) << 1) | islit2  # s2B
 
         zero = jnp.zeros((CO, L), jnp.int32)
         h1_ref[...] = zero
@@ -461,7 +465,11 @@ def _kernel(
         # lane gathers on row-shifted copies; comp-region parents (< CI*L,
         # already-final literal sources) never move.
         arow_g = jax.lax.broadcasted_iota(jnp.int32, (CO, L), 0) + CI
-        BWG = 3
+        # BWG=7 x 3 rounds (r4): native lane gathers are ~free (the whole
+        # r3 BWG=3 pass measured ~1µs/block), and reaching 7 rows (896 B)
+        # per hop collapses most mid-range copy chains here, letting the
+        # per-group doubling machinery below skip far more groups
+        BWG = 7
         for _i in range(3):
             d_g = arow_g - _srl(parent, 7)
             hop = parent

@@ -100,16 +100,26 @@ def _entries(byts: jnp.ndarray, slen) -> jnp.ndarray:
     return jnp.where(valid, adv | (prod << 16), 0)
 
 
-def _scan_kernel(sl_ref, ent_ref, seg_ref, meta_ref, win_smem, sem,
+def _scan_kernel(sl_ref, ent_ref, seg_ref, meta_ref,
+                 went_ref, pw1_ref, pw2_ref, w1_smem, w2_smem, sem,
                  *, MR: int, SEGCAP: int):
     """One serial walk of the whole tag chain on the scalar core.
 
     The chain is the only sequential physics in whole-stream decode
     (csnappy_decompress.c:345: tag N's start depends on tag N-1's
-    length).  Entries stream through SMEM in W-row windows DMA'd on
-    demand.  Per step: one SMEM load, one branchless boundary store
-    (seg[(pp + SEG-1) >> 15] = p — the LAST writer of slot k is the
-    first tag of segment k), two adds.
+    length).  Entries stream through W-row windows: each window is DMA'd
+    ANY→VMEM, PAIR-FUSED there with two native lane gathers (a tag with
+    adv <= 127 and prod <= 255 absorbs its successor, the decode kernel's
+    pair-table trick), and shipped to SMEM as two tables
+
+        e1 = advtot (16b) | adv1 << 16      e2 = prodtot (16b) | prod1 << 16
+
+    so the walk retires TWO tags per step: two independent SMEM loads,
+    two branchless boundary stores (seg[(pp + SEG-1) >> 15] = p — the
+    LAST writer of slot k is the first tag of segment k), two adds.
+    Straddling tags need no runtime tracking: a tag crossing a 32 KiB
+    output boundary makes its segment's block decode produce < 32768
+    bytes, which the caller's produced==expected check rejects.
     """
     slen = sl_ref[0]
     MAX_ROUNDS = MR * L // (2 * CHUNK_S) + MR * 2 // W + 8
@@ -126,30 +136,54 @@ def _scan_kernel(sl_ref, ent_ref, seg_ref, meta_ref, win_smem, sem,
     def body(c):
         p0, pp0, bad0, wbr0, rounds, _d = c
         need = (p0 - wbr0 * L >= (W // 2) * L) | (rounds == 0)
-        wbr = jnp.where(need, jnp.clip(_srl(p0, 7), 0, MR - W), wbr0)
+        wbr = jnp.where(need, jnp.clip(_srl(p0, 7), 0, MR - (W + 8)), wbr0)
 
         @pl.when(need)
         def _():
-            cp = pltpu.make_async_copy(ent_ref.at[pl.ds(wbr, W)], win_smem, sem)
+            cp = pltpu.make_async_copy(ent_ref.at[pl.ds(wbr, W + 8)], went_ref, sem)
             cp.start()
             cp.wait()
+            ent = went_ref[0:W, :]
+            adv = ent & 0xFFFF
+            prd = _srl(ent, 16)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (W, L), 1)
+            small = (ent != 0) & (adv <= 127) & (prd <= 255)
+            q = (lane + jnp.where(small, adv, 0)) & (L - 1)
+            g0 = jnp.take_along_axis(went_ref[0:W, :], q, axis=1)
+            g1 = jnp.take_along_axis(went_ref[1 : W + 1, :], q, axis=1)
+            succ = jnp.where((lane + adv) < L, g0, g1)
+            paired = small & (succ != 0)
+            adv2 = succ & 0xFFFF
+            prd2 = _srl(succ, 16)
+            # vector stores can't target SMEM — stage in VMEM and DMA over
+            pw1_ref[...] = jnp.where(
+                paired, (adv + adv2) | (adv << 16), jnp.where(ent != 0, adv, 0)
+            )
+            pw2_ref[...] = jnp.where(
+                paired, (prd + prd2) | (prd << 16), jnp.where(ent != 0, prd, 0)
+            )
+            cp1 = pltpu.make_async_copy(pw1_ref, w1_smem, sem)
+            cp1.start()
+            cp1.wait()
+            cp2 = pltpu.make_async_copy(pw2_ref, w2_smem, sem)
+            cp2.start()
+            cp2.wait()
 
         base = wbr * L
 
         def step(i, s):
-            # straddling tags need no runtime tracking: a tag crossing a
-            # 32 KiB output boundary makes its segment's block decode
-            # produce < 32768 bytes, which the caller's produced==expected
-            # check rejects — so the walk stays minimal (1 load, 1 store,
-            # 2 adds, the window guard, and the boundary-slot index)
             p, pp = s
             rel = p - base
             relc = jnp.minimum(rel, W * L - 1)
-            v = win_smem[_srl(relc, 7), relc & (L - 1)]
-            v = jnp.where(rel < W * L, v, 0)
+            inw = rel < W * L
+            v1 = jnp.where(inw, w1_smem[_srl(relc, 7), relc & (L - 1)], 0)
+            v2 = jnp.where(inw, w2_smem[_srl(relc, 7), relc & (L - 1)], 0)
             idx = jnp.minimum(_srl(pp + SEG - 1, 15), SEGCAP + 7)
             seg_ref[idx] = p
-            return p + (v & 0xFFFF), pp + _srl(v, 16)
+            pp1 = pp + _srl(v2, 16)
+            idx2 = jnp.minimum(_srl(pp1 + SEG - 1, 15), SEGCAP + 7)
+            seg_ref[idx2] = p + _srl(v1, 16)
+            return p + (v1 & 0xFFFF), pp + (v2 & 0xFFFF)
 
         p1, pp1 = jax.lax.fori_loop(0, CHUNK_S, step, (p0, pp0))
         # window refresh guarantees p0 is in-window at round start, so a
@@ -189,7 +223,11 @@ def _scan_compiled(MR: int, SEGCAP: int):
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ),
             scratch_shapes=[
-                pltpu.SMEM((W, L), i32),
+                pltpu.VMEM((W + 8, L), i32),   # raw entry window
+                pltpu.VMEM((W, L), i32),       # pair-stage advances
+                pltpu.VMEM((W, L), i32),       # pair-stage produced
+                pltpu.SMEM((W, L), i32),       # paired advances
+                pltpu.SMEM((W, L), i32),       # paired produced
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=prim.interpret_mode(),
