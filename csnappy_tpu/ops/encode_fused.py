@@ -457,6 +457,7 @@ def _kernel(
 def _compiled(B: int, BR: int, hash_bits: int = 16, phases: int = 99):
     # hash_bits is accepted for API/config parity but unused by the exact
     # full-window sort matcher (py/native models still honor it)
+    assert B % NBE == 0, f"batch {B} must divide into {NBE}-block grid steps"
     BS = BR * L
     OCR = _ocr(BS)
     TR = _trows(BS)

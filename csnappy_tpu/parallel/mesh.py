@@ -105,7 +105,9 @@ def compress_sharded(data: bytes, mesh: Mesh | None = None, bs: int = wire.BLOCK
     if n == 0:
         return bytes(out)
     nb = (n + bs - 1) // bs
-    B = _pad_batch(nb, n_dev)
+    # per-device batch must divide into the encode kernel's NBE-block grid
+    # steps (4-chain interleaved walk, r4)
+    B = _pad_batch(nb, n_dev * encode_fused.NBE)
     pages = np.zeros((B, bs), np.uint8)
     pages.reshape(-1)[:n] = buf
     blens = np.zeros((B,), np.int32)

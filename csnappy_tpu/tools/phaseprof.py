@@ -40,7 +40,7 @@ def profile_decode(data: bytes) -> list[dict]:
     from ..ops import decode_fused
     from .timing import slope_time
 
-    B = 16
+    B = 32
     blocks = [data[i * 32768 : (i + 1) * 32768] or data[:32768] for i in range(B)]
     frags = [pymodel.compress_fragment(b) for b in blocks]
     P = decode_fused._round_up(max(len(f) for f in frags) + 128, 1024)
@@ -62,7 +62,7 @@ def profile_decode(data: bytes) -> list[dict]:
             o, m = fn(lens_dev, cap_dev, ck)
             return m[:, 0].sum() + o[0, 0, 0]
 
-        sec = slope_time(step)
+        sec = slope_time(step, k_lo=4, k_hi=36, reps=3)
         rows.append({"phase": name, "cum_ms": round(sec * 1e3, 3),
                      "delta_ms": round((sec - prev) * 1e3, 3)})
         prev = sec
@@ -97,7 +97,7 @@ def profile_encode(data: bytes) -> list[dict]:
             c, m = fn(pages_dev ^ (k & 1), lens_dev)
             return m[:, 0].sum() + c[0, 0, 0]
 
-        sec = slope_time(step, k_lo=1, k_hi=3)
+        sec = slope_time(step, k_lo=2, k_hi=10, reps=3)
         rows.append({"phase": name, "cum_ms": round(sec * 1e3, 3),
                      "delta_ms": round((sec - prev) * 1e3, 3)})
         prev = sec
