@@ -34,6 +34,14 @@ block_test: native
 bench:
 	$(PY) bench.py
 
+# committed benchmark records (C16/C17 duty): corpus table, phase
+# profiles, zram-sim tree run — regenerate on the chip each round
+records:
+	$(PY) -m csnappy_tpu.tools.benchtable --corpus | tee records/benchtable_r4.txt
+	$(PY) -m csnappy_tpu.tools.phaseprof decode > records/phaseprof_r4_end_decode.jsonl
+	$(PY) -m csnappy_tpu.tools.phaseprof encode > records/phaseprof_r4_end_encode.jsonl
+	$(PY) -m csnappy_tpu.tools.zramsim csnappy_tpu | tee records/zramsim_r4.json
+
 clean:
 	$(MAKE) -C csrc clean
 	rm -rf .pytest_cache
