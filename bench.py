@@ -154,12 +154,31 @@ def main():
     pages_dev = jax.device_put(jnp.asarray(pages.astype(np.int32)))
     blens_dev = jax.device_put(jnp.asarray(blens))
 
+    # loop dependence via a PADDING byte (blocks nb..Bp-1 have blens==0, so
+    # their bytes never reach the output): k & 63 gives 64 distinct inputs,
+    # defeating the runtime's identical-call short-circuit that collapsed
+    # r4's 2-input `^ (k & 1)` slope to the 1e-9 floor (VERDICT r4 weak #1)
     def enc_step(k):
-        c, m = efn(pages_dev ^ (k & 1), blens_dev)  # real loop dependence
+        pk = pages_dev.at[Bp - 1, 32767].add(k & 63)
+        c, m = efn(pk, blens_dev)
         return m[:, 0].sum() + c[0, 0, 0]
 
-    t_enc = slope_time(enc_step, k_lo=1, k_hi=3)
+    t_enc = slope_time(enc_step, k_lo=4, k_hi=20, reps=3)
     enc_gbps = n / t_enc / 1e9
+
+    # sanity bound (VERDICT r4 #3): a timing-harness failure must fail the
+    # bench run loudly, never publish a garbage headline
+    for name, val, ref in (
+        ("decode", dec_gbps, REF_DECOMPRESS_GBPS),
+        ("wholestream", ws_gbps, REF_DECOMPRESS_GBPS),
+        ("compress", enc_gbps, REF_COMPRESS_GBPS),
+    ):
+        if val > 100.0 * ref:
+            raise RuntimeError(
+                f"bench sanity: {name} {val:.3f} GB/s exceeds 100x the "
+                f"reference ({ref} GB/s) — timing harness broken, refusing "
+                "to publish"
+            )
 
     result = {
         "metric": "block_decompress_GBps_per_chip",

@@ -10,9 +10,14 @@ Backends:
   * ``"native"`` — the C++ host runtime, when built (csrc/).
 
 Divergence note: header-mode :func:`decompress` additionally verifies the
-stream produced exactly the header-declared length (the reference's C lacks a
-produced-length out-param and cannot check this; its Python model enforces it,
-pysnappy_decompress.py:57-60 — we follow the stricter model).
+stream produced exactly the header-declared length and raises
+E_DATA_MALFORMED for a short stream (the reference's C lacks a
+produced-length out-param and cannot check this at all).  The reference
+Python model's even stricter E_INPUT_NOT_CONSUMED taxonomy — output exactly
+full while input tags remain (pysnappy_decompress.py:57-60) — is implemented
+by the ``py`` model's header-mode decode (pymodel.decompress,
+strict_consume); the device backends fold that case into E_OUTPUT_OVERRUN
+exactly as the reference C would.
 """
 from __future__ import annotations
 

@@ -34,17 +34,27 @@ def get_uncompressed_length(src: bytes) -> tuple[int, int]:
         raise SnappyError(E_HEADER_BAD, str(e)) from None
 
 
-def decompress_noheader(src: bytes, dst_len: int) -> bytes:
+def decompress_noheader(src: bytes, dst_len: int, strict_consume: bool = False) -> bytes:
     """Safely decode a headerless tag stream into at most ``dst_len`` bytes.
 
     Error contract mirrors csnappy_decompress_noheader
     (csnappy_decompress.c:319-387): never writes past ``dst_len``; offset 0 or
     beyond produced output ⇒ E_DATA_MALFORMED; truncated tags/payloads ⇒
     E_DATA_MALFORMED; output overflow ⇒ E_OUTPUT_OVERRUN.
+
+    ``strict_consume`` enables the reference *Python model's* stricter
+    header-mode contract (pysnappy_decompress.py:57-60, the only place the
+    reference makes CSNAPPY_E_INPUT_NOT_CONSUMED reachable): when the output
+    is already exactly full and further input tags remain, that is
+    E_INPUT_NOT_CONSUMED rather than E_OUTPUT_OVERRUN.
     """
     out = bytearray()
     i, n = 0, len(src)
     while i < n:
+        if strict_consume and len(out) == dst_len:
+            raise SnappyError(
+                E_INPUT_NOT_CONSUMED, f"{n - i} input bytes remain after output filled"
+            )
         op = src[i]
         kind = op & 3
         if kind == wire.TAG_LITERAL:
@@ -179,7 +189,7 @@ def decompress(src: bytes, dst_len: int | None = None) -> bytes:
         dst_len = ulen
     if ulen > dst_len:
         raise SnappyError(E_OUTPUT_INSUF, f"header says {ulen}, buffer {dst_len}")
-    out = decompress_noheader(src[hdr:], ulen)
+    out = decompress_noheader(src[hdr:], ulen, strict_consume=True)
     if len(out) != ulen:
         raise SnappyError(E_DATA_MALFORMED, f"stream produced {len(out)}, header said {ulen}")
     return out

@@ -42,17 +42,22 @@ def test_straddling_literal_returns_none():
     assert decode_ws.decompress_noheader_ws(bytes(s), len(raw)) is None
 
 
-def test_malformed_returns_none(urls10k):
+def test_malformed_matches_oracle(urls10k):
+    # VERDICT r4 weak #8: the pipeline may return bytes for a corrupted
+    # stream ONLY if that stream is still fully valid and the bytes equal
+    # the oracle's decode — anything else must decline (None)
     data = urls10k[:100000]
     comp = pymodel.compress(data)
     ulen, hdr = wire.varint_decode(comp)
     body = bytearray(comp[hdr:])
     body[len(body) // 2] ^= 0x5A
     res = decode_ws.decompress_noheader_ws(bytes(body), ulen)
-    # either declined (walk diverged) or — if the corrupt byte still
-    # parses — the segment produced-check rejects; None is the only
-    # acceptable non-exact result, and an exact result must round-trip
-    assert res is None or res != data or pymodel.decompress_noheader(bytes(body), ulen) == res
+    if res is not None:
+        try:
+            oracle = pymodel.decompress_noheader(bytes(body), ulen)
+        except Exception:
+            pytest.fail("pipeline returned bytes for a stream the oracle rejects")
+        assert res == oracle
 
 
 def test_plan_buckets_stable():
@@ -62,3 +67,27 @@ def test_plan_buckets_stable():
     b = decode_ws.plan(351234, 700000)
     assert a == b
     assert decode_ws.plan(100, 1000) is None       # single-segment: block path
+
+
+def test_oversized_stream_declines():
+    # fast-path envelope (decode_ws.plan): streams beyond MAX_FAST_MB
+    # compressed or 128 MB decompressed decline to the routed path
+    big_src = (decode_ws.MAX_FAST_MB << 20) + 1
+    assert decode_ws.plan(big_src, 256 << 20) is None
+    assert decode_ws.plan(1 << 20, (128 << 20) + 1) is None
+    # ws entry itself returns None (no device work) for an oversized buffer
+    buf = np.zeros(big_src, np.uint8)
+    assert decode_ws.decompress_noheader_ws(buf, 256 << 20) is None
+
+
+def test_api_straddling_literal_routes_correctly():
+    # api-level decline leg: a stream the fast path refuses (literal
+    # straddling every 32 KiB boundary) must still decode bit-exact
+    # through the routed path
+    from csnappy_tpu import api
+
+    raw = np.random.default_rng(7).integers(0, 256, 80000, dtype=np.uint8).tobytes()
+    s = bytearray()
+    wire.emit_literal(s, raw)
+    assert decode_ws.decompress_noheader_ws(bytes(s), len(raw)) is None
+    assert api.decompress_noheader(bytes(s), len(raw)) == raw

@@ -48,6 +48,23 @@ def test_noheader_output_overrun(urls10k, urls10k_snappy):
     assert ei.value.code == errors.E_OUTPUT_OVERRUN
 
 
+def test_input_not_consumed():
+    # the reference Python model's stricter header-mode contract
+    # (pysnappy_decompress.py:57-60): output exactly full with input tags
+    # remaining is E_INPUT_NOT_CONSUMED (-4) in header mode; the noheader
+    # contract (like the C) folds it into E_OUTPUT_OVERRUN
+    body = bytearray()
+    wire.emit_literal(body, b"abcd")
+    wire.emit_literal(body, b"xy")          # trailing tags past the header length
+    stream = wire.varint_encode(4) + bytes(body)
+    with pytest.raises(errors.SnappyError) as ei:
+        pymodel.decompress(stream)
+    assert ei.value.code == errors.E_INPUT_NOT_CONSUMED
+    with pytest.raises(errors.SnappyError) as ei2:
+        pymodel.decompress_noheader(bytes(body), dst_len=4)
+    assert ei2.value.code == errors.E_OUTPUT_OVERRUN
+
+
 def test_roundtrip_urls(urls10k):
     comp = pymodel.compress(urls10k)
     assert pymodel.decompress(comp) == urls10k
