@@ -69,6 +69,10 @@ TBUF = 16         # retained for stream-decoder imports
 CHUNK = 256       # walk steps per outer round (end checked between chunks)
 BIG = 1 << 24     # "never" event position
 PAIR_MAX_ADV = 31  # first-tag advance cap for pair-table entries
+QUAD_MAX_D2 = 63   # pair-advance cap for quad fusion (bounds lane reach)
+BWG = 7           # banded-halving reach (rows per hop)
+BWG_ROUNDS = 3    # banded-halving rounds before the group loop
+KFIX = 2          # unconditional in-group doubling rounds per group
 
 
 def _troWS(P: int) -> int:
@@ -99,8 +103,10 @@ def _kernel(
         (slen_ref, dlim_ref, soffs_ref, stream_ref,
          out_ref, meta_ref,
          tp_ref, tf_ref, pt_ref, tpp_ref, tfp_ref,
-         tpos_ref, tpos2_ref,
+         tp3_ref, tf3_ref, tp4_ref, tf4_ref,
+         tpos_ref, tpos2_ref, tpos3_ref, tpos4_ref,
          tp1_ref, tf1_ref, tp2_ref, tf2_ref,
+         tp3s_ref, tf3s_ref, tp4s_ref, tf4s_ref,
          h1_ref, h2_ref,
          par_ref, lidx_ref,
          big_ref,
@@ -110,8 +116,10 @@ def _kernel(
         (slen_ref, dlim_ref, comp_ref,
          out_ref, meta_ref,
          tp_ref, tf_ref, pt_ref, tpp_ref, tfp_ref,
-         tpos_ref, tpos2_ref,
+         tp3_ref, tf3_ref, tp4_ref, tf4_ref,
+         tpos_ref, tpos2_ref, tpos3_ref, tpos4_ref,
          tp1_ref, tf1_ref, tp2_ref, tf2_ref,
+         tp3s_ref, tf3s_ref, tp4s_ref, tf4s_ref,
          h1_ref, h2_ref,
          par_ref, lidx_ref,
          big_ref,
@@ -216,25 +224,47 @@ def _kernel(
         rowd = (lane + adv) >> 7
         adv2 = jnp.where(small, jnp.where(rowd == 0, nx_same, nx_next), 0)
         paired = adv2 > 0
-        # pair-table regions are strided CI+1 rows with a zeroed guard row
-        # at local position P: the walk can then read at p == slen == P
-        # (self-terminating) with NO per-step clamp, and track positions
-        # pre-offset by the region base with NO per-step base add
-        pt_ref[pl.ds(j * (CI + 1), CI), :] = jnp.where(
-            valid,
-            jnp.where(paired, (adv + adv2) | (adv << 17), adv),
-            0,
-        )
-        pt_ref[pl.ds(j * (CI + 1) + CI, 1), :] = jnp.zeros((1, L), jnp.int32)
+        d2 = jnp.where(paired, adv + adv2, adv)     # pair (or single) advance
         # partner fields precomputed densely (two lane gathers each), so
-        # the fields phase serves BOTH tag streams from ONE row-gather call
+        # the fields phase serves its tag streams from ONE row-gather call
         # with a single shared one-hot mask
         tpn = kl.row_shift_up(tpv, 1)
         tfn = kl.row_shift_up(tfv, 1)
         tpp = jnp.where(rowd == 0, kl.lane_gather(tpv, q_l), kl.lane_gather(tpn, q_l))
         tfp = jnp.where(rowd == 0, kl.lane_gather(tfv, q_l), kl.lane_gather(tfn, q_l))
-        tpp_ref[pl.ds(j * CI, CI), :] = jnp.where(paired, tpp, 0)
-        tfp_ref[pl.ds(j * CI, CI), :] = jnp.where(paired, tfp, 0)
+        tpp = jnp.where(paired, tpp, 0)
+        tfp = jnp.where(paired, tfp, 0)
+        # r5 quad fusion: when the PAIR is short (d2 <= QUAD_MAX_D2) the
+        # entry also absorbs the pair entry at p+d2, so one scalar step
+        # retires up to FOUR tags (streams A=p, B=p+adv, C=p+d2,
+        # D=partner of C).  Reach stays bounded (lane+d2 <= 190 -> this
+        # row or the next), so stream C/D fields come from the same cheap
+        # native lane gathers; the walk step itself is unchanged.
+        pairent = jnp.where(valid, d2, 0)           # pre-quad walk entry
+        quadable = paired & (d2 <= QUAD_MAX_D2)
+        q_l2 = (lane + jnp.where(quadable, d2, 0)) & (L - 1)
+        rowd2 = (lane + jnp.where(quadable, d2, 0)) >> 7
+
+        def _g2(tab):
+            g0 = kl.lane_gather(tab, q_l2)
+            g1 = kl.lane_gather(kl.row_shift_up(tab, 1), q_l2)
+            return jnp.where(rowd2 == 0, g0, g1)
+
+        pair2 = _g2(pairent)                        # C's pair advance (0 = invalid)
+        quad = quadable & (pair2 > 0)
+        quad_i = quad.astype(jnp.int32)
+        tp3_ref[pl.ds(j * CI, CI), :] = _g2(tpv) * quad_i
+        tf3_ref[pl.ds(j * CI, CI), :] = _g2(tfv) * quad_i
+        tp4_ref[pl.ds(j * CI, CI), :] = _g2(tpp) * quad_i
+        tf4_ref[pl.ds(j * CI, CI), :] = _g2(tfp) * quad_i
+        tpp_ref[pl.ds(j * CI, CI), :] = tpp
+        tfp_ref[pl.ds(j * CI, CI), :] = tfp
+        # pair-table regions are strided CI+1 rows with a zeroed guard row
+        # at local position P: the walk can then read at p == slen == P
+        # (self-terminating) with NO per-step clamp, and track positions
+        # pre-offset by the region base with NO per-step base add
+        pt_ref[pl.ds(j * (CI + 1), CI), :] = jnp.where(quad, d2 + pair2, pairent)
+        pt_ref[pl.ds(j * (CI + 1) + CI, 1), :] = jnp.zeros((1, L), jnp.int32)
         cut1.extend([tp_ref[pl.ds(j * CI, 8), :], pt_ref[pl.ds(j * (CI + 1), 8), :]])
 
     cpd = pltpu.make_async_copy(pt_ref, pt_smem, sem)
@@ -315,20 +345,26 @@ def _kernel(
         cpt.wait()
 
         # ------------------------------------------------------- 3. fields
-        # two tag streams per walk step: A at the stored position, B the
-        # parse-precomputed partner (empty when the step was unpaired) —
-        # both streams served by ONE gather call / one shared one-hot mask
+        # four tag streams per walk step: A at the stored position, B/C/D
+        # the parse-precomputed pair and quad partners (empty when the
+        # step fused fewer tags) — ALL streams served by ONE gather call
+        # with one shared one-hot mask
         FN = 16
         ngroups = (nsteps + FN * L - 1) // (FN * L)
         tp_t = tp_ref[pl.ds(j * CI, CI), :]
         tf_t = tf_ref[pl.ds(j * CI, CI), :]
         tpp_t = tpp_ref[pl.ds(j * CI, CI), :]
         tfp_t = tfp_ref[pl.ds(j * CI, CI), :]
+        tp3_t = tp3_ref[pl.ds(j * CI, CI), :]
+        tf3_t = tf3_ref[pl.ds(j * CI, CI), :]
+        tp4_t = tp4_ref[pl.ds(j * CI, CI), :]
+        tf4_t = tf4_ref[pl.ds(j * CI, CI), :]
 
         def fields_grp(g, _):
             r0 = pl.multiple_of(g * FN, 8)
-            tpg, tfg, tpg2, tfg2 = kl.gather_rows_multi(
-                [(tp_t, 17), (tf_t, 16), (tpp_t, 17), (tfp_t, 16)],
+            tpg, tfg, tpg2, tfg2, tpg3, tfg3, tpg4, tfg4 = kl.gather_rows_multi(
+                [(tp_t, 17), (tf_t, 16), (tpp_t, 17), (tfp_t, 16),
+                 (tp3_t, 17), (tf3_t, 16), (tp4_t, 17), (tf4_t, 16)],
                 tpos_ref, r0, nrows=FN,
                 pre=lambda r: r - BASEW[j],   # walk stores region-based p
             )
@@ -336,44 +372,70 @@ def _kernel(
             tf1_ref[pl.ds(r0, FN), :] = tfg
             tp2_ref[pl.ds(r0, FN), :] = tpg2
             tf2_ref[pl.ds(r0, FN), :] = tfg2
+            tp3s_ref[pl.ds(r0, FN), :] = tpg3
+            tf3s_ref[pl.ds(r0, FN), :] = tfg3
+            tp4s_ref[pl.ds(r0, FN), :] = tpg4
+            tf4s_ref[pl.ds(r0, FN), :] = tfg4
             return 0
 
         jax.lax.fori_loop(0, ngroups, fields_grp, 0)
 
         if phases == 3:
-            cutacc.extend([tp1_ref[0:8, :], tf1_ref[0:8, :], tp2_ref[0:8, :]])
+            cutacc.extend([tp1_ref[0:8, :], tf1_ref[0:8, :], tp3s_ref[0:8, :]])
             continue
 
         # -------------------------------------------------------- 4. cover
         stepm = kl.row_iota(TROWS) < nsteps
         tp1v, tp2v = tp1_ref[...], tp2_ref[...]
+        tp3v, tp4v = tp3s_ref[...], tp4s_ref[...]
         prod1 = jnp.where(stepm, tp1v & 0xFFFF, 0)
         prod2 = jnp.where(stepm, tp2v & 0xFFFF, 0)
+        prod3 = jnp.where(stepm, tp3v & 0xFFFF, 0)
+        prod4 = jnp.where(stepm, tp4v & 0xFFFF, 0)
         islit1 = _srl(tp1v, 16) & 1
         islit2 = _srl(tp2v, 16) & 1
+        islit3 = _srl(tp3v, 16) & 1
+        islit4 = _srl(tp4v, 16) & 1
         fld1, fld2 = tf1_ref[...], tf2_ref[...]
-        pp = prod1 + prod2
+        fld3, fld4 = tf3s_ref[...], tf4s_ref[...]
+        pp = prod1 + prod2 + prod3 + prod4
         S = kl.scan2d_tril(pp, bits=31)
         excl = S - pp
         tose1 = excl
         tose2 = excl + prod1
+        tose3 = tose2 + prod2
+        tose4 = tose3 + prod3
         total_out = jnp.max(jnp.where(stepm, S, 0))
-        overrun = jnp.any(stepm & (((excl + prod1 > dlim) & (prod1 > 0)) | (S > dlim)))
+        overrun = jnp.any(stepm & (S > dlim))
         live1 = stepm & (tose1 < OCL) & (prod1 > 0)
         live2 = stepm & (tose2 < OCL) & (prod2 > 0)
+        live3 = stepm & (tose3 < OCL) & (prod3 > 0)
+        live4 = stepm & (tose4 < OCL) & (prod4 > 0)
         key1 = tose1 + 1
         key2 = tose2 + 1
-        maxprod = jnp.max(jnp.where(stepm, jnp.maximum(prod1, prod2), 0))
+        key3 = tose3 + 1
+        key4 = tose4 + 1
+        maxprod = jnp.max(jnp.where(
+            stepm,
+            jnp.maximum(jnp.maximum(prod1, prod2), jnp.maximum(prod3, prod4)),
+            0,
+        ))
         tpos_ref[...] = jnp.where(live1, tose1, -1)               # reused: sposA
         tpos2_ref[...] = jnp.where(live2, tose2, -1)              # reused: sposB
+        tpos3_ref[...] = jnp.where(live3, tose3, -1)              # sposC
+        tpos4_ref[...] = jnp.where(live4, tose4, -1)              # sposD
         # h2 records carry only 2 payload bits, so their key rides at
         # bit 2 (18-bit values, 3 scatter limbs instead of 5); winners
         # stay consistent with h1 because ordering is key-dominant and
-        # keys (tose+1) are unique across both streams
+        # keys (tose+1) are unique across all four streams
         tp1_ref[...] = (key1 << 15) | (fld1 & 0x7FFF)             # s1A
         tf1_ref[...] = (key1 << 2) | ((_srl(fld1, 15) & 1) << 1) | islit1  # s2A
         tp2_ref[...] = (key2 << 15) | (fld2 & 0x7FFF)             # s1B
         tf2_ref[...] = (key2 << 2) | ((_srl(fld2, 15) & 1) << 1) | islit2  # s2B
+        tp3s_ref[...] = (key3 << 15) | (fld3 & 0x7FFF)            # s1C
+        tf3s_ref[...] = (key3 << 2) | ((_srl(fld3, 15) & 1) << 1) | islit3  # s2C
+        tp4s_ref[...] = (key4 << 15) | (fld4 & 0x7FFF)            # s1D
+        tf4s_ref[...] = (key4 << 2) | ((_srl(fld4, 15) & 1) << 1) | islit4  # s2D
 
         zero = jnp.zeros((CO, L), jnp.int32)
         h1_ref[...] = zero
@@ -389,8 +451,14 @@ def _kernel(
             pb = kl.scatter_rows_multi(
                 tpos2_ref, [(tp2_ref, 31), (tf2_ref, 18)], r0, CO, nrows=FN,
             )
-            h1_ref[...] += pa[0] + pb[0]
-            h2_ref[...] += pa[1] + pb[1]
+            pc = kl.scatter_rows_multi(
+                tpos3_ref, [(tp3s_ref, 31), (tf3s_ref, 18)], r0, CO, nrows=FN,
+            )
+            pd = kl.scatter_rows_multi(
+                tpos4_ref, [(tp4s_ref, 31), (tf4s_ref, 18)], r0, CO, nrows=FN,
+            )
+            h1_ref[...] += pa[0] + pb[0] + pc[0] + pd[0]
+            h2_ref[...] += pa[1] + pb[1] + pc[1] + pd[1]
             return 0
 
         jax.lax.fori_loop(0, ngroups, scat_grp, 0)
@@ -467,12 +535,11 @@ def _kernel(
         # lane gathers on row-shifted copies; comp-region parents (< CI*L,
         # already-final literal sources) never move.
         arow_g = jax.lax.broadcasted_iota(jnp.int32, (CO, L), 0) + CI
-        # BWG=7 x 3 rounds (r4): native lane gathers are ~free (the whole
-        # r3 BWG=3 pass measured ~1µs/block), and reaching 7 rows (896 B)
-        # per hop collapses most mid-range copy chains here, letting the
-        # per-group doubling machinery below skip far more groups
-        BWG = 7
-        for _i in range(3):
+        # BWG x BWG_ROUNDS (r4/r5 tuned): native lane gathers are ~free
+        # (the whole r3 BWG=3 pass measured ~1µs/block), and reaching BWG
+        # rows per hop collapses most mid-range copy chains here, letting
+        # the per-group doubling machinery below skip far more groups
+        for _i in range(BWG_ROUNDS):
             d_g = arow_g - _srl(parent, 7)
             hop = parent
             for dd in range(BWG + 1):
@@ -494,7 +561,6 @@ def _kernel(
         RG = next(n for n in (32, 16, 8) if CO % n == 0)
         NRG = CO // RG
         LOCAL_MAX = 18  # fallback cap: in-group chain depth after halving
-        KFIX = 2        # unconditional in-group doubling rounds (see below)
         par_bits = ((CI + CO) * L - 1).bit_length()
         big_ref[pl.ds(0, CI), :] = comp
 
@@ -636,12 +702,22 @@ def _compiled(B: int, CI: int, CO: int, phases: int = 99):
                 pltpu.VMEM((NB * (CI + 1), L), i32),  # pt (strided, guard rows)
                 pltpu.VMEM((NB * CI, L), i32),      # tpp (partner prod)
                 pltpu.VMEM((NB * CI, L), i32),      # tfp (partner field)
+                pltpu.VMEM((NB * CI, L), i32),      # tp3 (quad C prod)
+                pltpu.VMEM((NB * CI, L), i32),      # tf3 (quad C field)
+                pltpu.VMEM((NB * CI, L), i32),      # tp4 (quad D prod)
+                pltpu.VMEM((NB * CI, L), i32),      # tf4 (quad D field)
                 pltpu.VMEM((TROWS, L), i32),        # tpos (step positions)
-                pltpu.VMEM((TROWS, L), i32),        # tpos2 (partner positions)
+                pltpu.VMEM((TROWS, L), i32),        # tpos2 / sposB
+                pltpu.VMEM((TROWS, L), i32),        # tpos3 / sposC
+                pltpu.VMEM((TROWS, L), i32),        # tpos4 / sposD
                 pltpu.VMEM((TROWS, L), i32),        # tp1
                 pltpu.VMEM((TROWS, L), i32),        # tf1
                 pltpu.VMEM((TROWS, L), i32),        # tp2
                 pltpu.VMEM((TROWS, L), i32),        # tf2
+                pltpu.VMEM((TROWS, L), i32),        # tp3s
+                pltpu.VMEM((TROWS, L), i32),        # tf3s
+                pltpu.VMEM((TROWS, L), i32),        # tp4s
+                pltpu.VMEM((TROWS, L), i32),        # tf4s
                 pltpu.VMEM((CO, L), i32),           # h1
                 pltpu.VMEM((CO, L), i32),           # h2
                 pltpu.VMEM((CO, L), i32),           # par
@@ -695,12 +771,22 @@ def _compiled_streamed(B: int, MR: int, CI: int, CO: int):
                 pltpu.VMEM((NB * (CI + 1), L), i32),  # pt (strided, guard rows)
                 pltpu.VMEM((NB * CI, L), i32),      # tpp
                 pltpu.VMEM((NB * CI, L), i32),      # tfp
+                pltpu.VMEM((NB * CI, L), i32),      # tp3
+                pltpu.VMEM((NB * CI, L), i32),      # tf3
+                pltpu.VMEM((NB * CI, L), i32),      # tp4
+                pltpu.VMEM((NB * CI, L), i32),      # tf4
                 pltpu.VMEM((TROWS, L), i32),        # tpos
                 pltpu.VMEM((TROWS, L), i32),        # tpos2
+                pltpu.VMEM((TROWS, L), i32),        # tpos3
+                pltpu.VMEM((TROWS, L), i32),        # tpos4
                 pltpu.VMEM((TROWS, L), i32),        # tp1
                 pltpu.VMEM((TROWS, L), i32),        # tf1
                 pltpu.VMEM((TROWS, L), i32),        # tp2
                 pltpu.VMEM((TROWS, L), i32),        # tf2
+                pltpu.VMEM((TROWS, L), i32),        # tp3s
+                pltpu.VMEM((TROWS, L), i32),        # tf3s
+                pltpu.VMEM((TROWS, L), i32),        # tp4s
+                pltpu.VMEM((TROWS, L), i32),        # tf4s
                 pltpu.VMEM((CO, L), i32),           # h1
                 pltpu.VMEM((CO, L), i32),           # h2
                 pltpu.VMEM((CO, L), i32),           # par

@@ -101,25 +101,29 @@ def _entries(byts: jnp.ndarray, slen) -> jnp.ndarray:
 
 
 def _scan_kernel(sl_ref, ent_ref, seg_ref, meta_ref,
-                 went_ref, pw1_ref, pw2_ref, w1_smem, w2_smem, sem,
+                 went_ref, pw1_ref, pw2_ref, pw3_ref, pw4_ref,
+                 w1_smem, w2_smem, w3_smem, w4_smem, sem,
                  *, MR: int, SEGCAP: int):
     """One serial walk of the whole tag chain on the scalar core.
 
     The chain is the only sequential physics in whole-stream decode
     (csnappy_decompress.c:345: tag N's start depends on tag N-1's
     length).  Entries stream through W-row windows: each window is DMA'd
-    ANY→VMEM, PAIR-FUSED there with two native lane gathers (a tag with
-    adv <= 127 and prod <= 255 absorbs its successor, the decode kernel's
-    pair-table trick), and shipped to SMEM as two tables
+    ANY→VMEM, PAIR- then QUAD-FUSED there with native lane gathers (a tag
+    with adv <= 127 and prod <= 255 absorbs its successor; a pair with
+    total advance <= 63 absorbs the following pair — the decode kernel's
+    pair/quad-table trick), and shipped to SMEM as four tables
 
-        e1 = advtot (16b) | adv1 << 16      e2 = prodtot (16b) | prod1 << 16
+        w1 = advtot(17) | a1 << 17        w2 = prodtot(17) | q1 << 17
+        w3 = d2(6) | qq2 << 6 (quad only) w4 = a3(7) | q3 << 7 (quad only)
 
-    so the walk retires TWO tags per step: two independent SMEM loads,
-    two branchless boundary stores (seg[(pp + SEG-1) >> 15] = p — the
-    LAST writer of slot k is the first tag of segment k), two adds.
-    Straddling tags need no runtime tracking: a tag crossing a 32 KiB
-    output boundary makes its segment's block decode produce < 32768
-    bytes, which the caller's produced==expected check rejects.
+    so the walk retires up to FOUR tags per step: four independent SMEM
+    loads, four branchless boundary stores (seg[(pp + SEG-1) >> 15] = p —
+    the LAST writer of slot k is the first tag of segment k; absent
+    streams harmlessly re-store an earlier slot), two adds.  Straddling
+    tags need no runtime tracking: a tag crossing a 32 KiB output
+    boundary makes its segment's block decode produce < 32768 bytes,
+    which the caller's produced==expected check rejects.
     """
     slen = sl_ref[0]
     MAX_ROUNDS = MR * L // (2 * CHUNK_S) + MR * 2 // W + 8
@@ -155,19 +159,48 @@ def _scan_kernel(sl_ref, ent_ref, seg_ref, meta_ref,
             paired = small & (succ != 0)
             adv2 = succ & 0xFFFF
             prd2 = _srl(succ, 16)
-            # vector stores can't target SMEM — stage in VMEM and DMA over
-            pw1_ref[...] = jnp.where(
-                paired, (adv + adv2) | (adv << 16), jnp.where(ent != 0, adv, 0)
+            entv = (ent != 0).astype(jnp.int32)
+            padv = jnp.where(paired, adv + adv2, adv) * entv     # pair advance
+            pprd = jnp.where(paired, prd + prd2, prd) * entv     # pair produced
+            pa1 = jnp.where(paired, adv, 0)
+            pq1 = jnp.where(paired, prd, 0)
+            # quad composition: absorb the pair entry at +d2 (d2 <= 63 ->
+            # reach <= 190 lanes: this row or the next)
+            quadable = paired & (padv <= 63)
+            d2q = jnp.where(quadable, padv, 0)
+            q2l = (lane + d2q) & (L - 1)
+            rowd2 = (lane + d2q) >> 7
+
+            def _g2(tab):
+                ga = jnp.take_along_axis(tab, q2l, axis=1)
+                shifted = jnp.concatenate(
+                    [tab[1:], jnp.zeros((1, L), jnp.int32)], axis=0
+                )
+                gb = jnp.take_along_axis(shifted, q2l, axis=1)
+                return jnp.where(rowd2 == 0, ga, gb)
+
+            padv2 = _g2(padv)
+            pprd2x = _g2(pprd)
+            pa3 = _g2(pa1)
+            pq3 = _g2(pq1)
+            quad = quadable & (padv2 > 0)
+            advtot = jnp.where(quad, padv + padv2, padv)
+            prodtot = jnp.where(quad, pprd + pprd2x, pprd)
+            # vector stores can't target SMEM — stage in VMEM and DMA over.
+            # w3 for a non-quad entry carries (a1, q1) so the C store
+            # re-stores stream B's slot (or A's when unpaired) rather than
+            # clobbering a later-written boundary slot with stream A's p.
+            pw1_ref[...] = advtot | (pa1 << 17)
+            pw2_ref[...] = prodtot | (pq1 << 17)
+            pw3_ref[...] = jnp.where(
+                quad, d2q | (pprd << 7), pa1 | (pq1 << 7)
             )
-            pw2_ref[...] = jnp.where(
-                paired, (prd + prd2) | (prd << 16), jnp.where(ent != 0, prd, 0)
-            )
-            cp1 = pltpu.make_async_copy(pw1_ref, w1_smem, sem)
-            cp1.start()
-            cp1.wait()
-            cp2 = pltpu.make_async_copy(pw2_ref, w2_smem, sem)
-            cp2.start()
-            cp2.wait()
+            pw4_ref[...] = jnp.where(quad, pa3 | (pq3 << 7), 0)
+            for src, dst in ((pw1_ref, w1_smem), (pw2_ref, w2_smem),
+                             (pw3_ref, w3_smem), (pw4_ref, w4_smem)):
+                cpx = pltpu.make_async_copy(src, dst, sem)
+                cpx.start()
+                cpx.wait()
 
         base = wbr * L
 
@@ -176,14 +209,28 @@ def _scan_kernel(sl_ref, ent_ref, seg_ref, meta_ref,
             rel = p - base
             relc = jnp.minimum(rel, W * L - 1)
             inw = rel < W * L
-            v1 = jnp.where(inw, w1_smem[_srl(relc, 7), relc & (L - 1)], 0)
-            v2 = jnp.where(inw, w2_smem[_srl(relc, 7), relc & (L - 1)], 0)
+            rr, rl = _srl(relc, 7), relc & (L - 1)
+            v1 = jnp.where(inw, w1_smem[rr, rl], 0)
+            v2 = jnp.where(inw, w2_smem[rr, rl], 0)
+            v3 = jnp.where(inw, w3_smem[rr, rl], 0)
+            v4 = jnp.where(inw, w4_smem[rr, rl], 0)
+            # stream A
             idx = jnp.minimum(_srl(pp + SEG - 1, 15), SEGCAP + 7)
             seg_ref[idx] = p
-            pp1 = pp + _srl(v2, 16)
-            idx2 = jnp.minimum(_srl(pp1 + SEG - 1, 15), SEGCAP + 7)
-            seg_ref[idx2] = p + _srl(v1, 16)
-            return p + (v1 & 0xFFFF), pp + (v2 & 0xFFFF)
+            # stream B (absent -> re-store A's slot with the same p)
+            pp2 = pp + _srl(v2, 17)
+            idx2 = jnp.minimum(_srl(pp2 + SEG - 1, 15), SEGCAP + 7)
+            seg_ref[idx2] = p + _srl(v1, 17)
+            # stream C (first tag of the absorbed pair; absent -> re-store)
+            d2v = v3 & 0x7F
+            pp3 = pp + _srl(v3, 7)
+            idx3 = jnp.minimum(_srl(pp3 + SEG - 1, 15), SEGCAP + 7)
+            seg_ref[idx3] = p + d2v
+            # stream D (partner of C)
+            pp4 = pp3 + _srl(v4, 7)
+            idx4 = jnp.minimum(_srl(pp4 + SEG - 1, 15), SEGCAP + 7)
+            seg_ref[idx4] = p + d2v + (v4 & 0x7F)
+            return p + (v1 & 0x1FFFF), pp + (v2 & 0x1FFFF)
 
         p1, pp1 = jax.lax.fori_loop(0, CHUNK_S, step, (p0, pp0))
         # window refresh guarantees p0 is in-window at round start, so a
@@ -224,10 +271,14 @@ def _scan_compiled(MR: int, SEGCAP: int):
             ),
             scratch_shapes=[
                 pltpu.VMEM((W + 8, L), i32),   # raw entry window
-                pltpu.VMEM((W, L), i32),       # pair-stage advances
-                pltpu.VMEM((W, L), i32),       # pair-stage produced
-                pltpu.SMEM((W, L), i32),       # paired advances
-                pltpu.SMEM((W, L), i32),       # paired produced
+                pltpu.VMEM((W, L), i32),       # w1 stage (advtot | a1)
+                pltpu.VMEM((W, L), i32),       # w2 stage (prodtot | q1)
+                pltpu.VMEM((W, L), i32),       # w3 stage (d2 | qq2)
+                pltpu.VMEM((W, L), i32),       # w4 stage (a3 | q3)
+                pltpu.SMEM((W, L), i32),       # w1
+                pltpu.SMEM((W, L), i32),       # w2
+                pltpu.SMEM((W, L), i32),       # w3
+                pltpu.SMEM((W, L), i32),       # w4
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=prim.interpret_mode(),

@@ -58,7 +58,14 @@ from . import primitives as prim
 L = 128
 INNER = 256       # walk steps per outer round (end checked between rounds)
 NOCAND = 0x7FFF   # candidate sentinel
-EXTRAS = 7        # carried LCP windows (direct LCP cap = 4 + 4*EXTRAS)
+# Carried LCP windows (direct LCP cap = 4 + 4*EXTRAS).  r5 A/B on urls.10K
+# (tools/extras_ab.py, records/extras_ab_r5.txt): each carried operand costs
+# ~0.15 ms of XLA sort prep per 24-block batch; the staircase propagation
+# recovers most long matches, so EXTRAS=2 compresses to 354,567 B (ref
+# 357,267) at 246 MB/s vs EXTRAS=7's 344,271 B at 174 MB/s.  EXTRAS=1
+# misses the reference ratio (360,200) — 2 is the floor.  Set 7 for
+# maximum-ratio batch compression.
+EXTRAS = 2
 
 
 def _trows(BS: int) -> int:
@@ -90,7 +97,7 @@ NBE = 4           # blocks per grid step (4-chain interleaved walk, r4)
 def _kernel(
     blen_ref, data_ref, in1_ref, nc_ref,                 # inputs (NBE-blocked)
     comp_ref, meta_ref,                                  # outputs
-    ml_ref, wtab_ref,                                    # dense scratch (NBE*BR(+1), L)
+    ml_ref, wtab_ref, m2d_ref, o2d_ref,                  # dense scratch (NBE*BR(+1), L)
     tpos_ref, tpos2_ref, m1_ref, o1_ref, m2_ref, o2_ref, # step fields (TR, L)
     sq_ref, s1_ref, s2_ref, s3_ref,                      # scatter stage (TR, L)
     h1_ref, h2_ref, h3_ref, vals_ref, lidx_ref,          # emission (OCR, L)
@@ -142,10 +149,24 @@ def _kernel(
         succ = jnp.where(pos + ml >= BS, BS, succ)
         d1 = jnp.where(succ < BS, succ - pos, 0)
         # partner lookup for pair fusion (2 commits retire per walk step)
-        Ep = _bounded_gather(d1, jnp.where((d1 >= 1) & (d1 <= 127), d1, 0))
+        d1b = jnp.where((d1 >= 1) & (d1 <= 127), d1, 0)
+        Ep = _bounded_gather(d1, d1b)
         pd = Ep & 0xFFFF
         paired = has & (d1 >= 1) & (d1 <= 127)
         d2 = jnp.where(pd > 0, d1 + pd, BS - pos)
+        # partner FIELDS precomputed densely (r5): ml and commit offset of
+        # the paired partner via the same bounded lane gathers, so the
+        # fields phase serves both streams from ONE row-gather call instead
+        # of a second, dependent call at pos+d1
+        mlv = jnp.where(has, ml, 0)
+        candv = jnp.where(cand == NOCAND, 0, cand)
+        ml2d = _bounded_gather(mlv, d1b)
+        cnd2 = _bounded_gather(candv, d1b)
+        pairedi = paired.astype(jnp.int32)
+        m2_ref_d = ml2d * pairedi
+        o2_ref_d = (pos + d1 - cnd2) * pairedi
+        m2d_ref[pl.ds(j * BR, BR), :] = m2_ref_d
+        o2d_ref[pl.ds(j * BR, BR), :] = o2_ref_d
         # walk entry layout (fully branchless, like the decoder's):
         #   bit30 = store flag (commit entries store their position)
         #   bits 23-29 = paired partner delta d1 (0 when unpaired)
@@ -251,22 +272,23 @@ def _kernel(
         in1j = in1_ref[j]
         candT = jnp.where((in1j & 0x7FFF) == NOCAND, 0, in1j & 0x7FFF)
         d1T = _srl(wt, 23) & 0x7F
+        m2T = m2d_ref[pl.ds(j * BR, BR), :]
+        o2T = o2d_ref[pl.ds(j * BR, BR), :]
 
         def fields_grp(g, _):
             r0 = pl.multiple_of(g * FN, 8)
             posA = tpos_ref[pl.ds(r0, FN), :] - BASEW[j]
-            mlA, cg, d1q = kl.gather_rows_multi(
-                [(mlT, 7), (candT, 15), (d1T, 7)], tpos_ref, r0, nrows=FN,
+            # both streams from ONE gather (partner fields are dense, r5)
+            mlA, cg, d1q, m2g, o2g = kl.gather_rows_multi(
+                [(mlT, 7), (candT, 15), (d1T, 7), (m2T, 7), (o2T, 16)],
+                tpos_ref, r0, nrows=FN,
                 pre=lambda r: r - BASEW[j],   # walk stores region-based p
             )
             tpos2_ref[pl.ds(r0, FN), :] = posA + d1q
             m1_ref[pl.ds(r0, FN), :] = mlA
             o1_ref[pl.ds(r0, FN), :] = posA - cg
-            mlg2, cg2 = kl.gather_rows_multi(
-                [(mlT, 7), (candT, 15)], tpos2_ref, r0, nrows=FN,
-            )
-            m2_ref[pl.ds(r0, FN), :] = jnp.where(d1q > 0, mlg2, 0)
-            o2_ref[pl.ds(r0, FN), :] = posA + d1q - cg2
+            m2_ref[pl.ds(r0, FN), :] = m2g
+            o2_ref[pl.ds(r0, FN), :] = o2g
             return 0
 
         jax.lax.fori_loop(0, ngroups, fields_grp, 0)
@@ -594,6 +616,8 @@ def _compiled(B: int, BR: int, hash_bits: int = 16, phases: int = 99):
             scratch_shapes=[
                 pltpu.VMEM((NBE * BR, L), i32),        # ml
                 pltpu.VMEM((NBE * (BR + 1), L), i32),  # wtab (strided, guard rows)
+                pltpu.VMEM((NBE * BR, L), i32),        # m2d (dense partner ml)
+                pltpu.VMEM((NBE * BR, L), i32),        # o2d (dense partner offset)
                 pltpu.VMEM((TR, L), i32),            # tpos
                 pltpu.VMEM((TR, L), i32),            # tpos2
                 pltpu.VMEM((TR, L), i32),            # m1
