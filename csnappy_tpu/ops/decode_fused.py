@@ -70,13 +70,27 @@ CHUNK = 256       # walk steps per outer round (end checked between chunks)
 BIG = 1 << 24     # "never" event position
 PAIR_MAX_ADV = 31  # first-tag advance cap for pair-table entries
 QUAD_MAX_D2 = 63   # pair-advance cap for quad fusion (bounds lane reach)
-BWG = 7           # banded-halving reach (rows per hop)
-BWG_ROUNDS = 3    # banded-halving rounds before the group loop
-KFIX = 2          # unconditional in-group doubling rounds per group
+# Resolve pointer-collapse schedule (r5 hardware A/B, tools/decode_ab.py):
+# each banded round SQUARES chain depth for hops within reach, so staged
+# reaches (short cheap rounds first, then full-in-group reach-31 rounds)
+# replace the per-group MXU doubling entirely — the 16 small gather calls
+# it took measured 1.4µs each, ~10µs/block/round, while a reach-31 banded
+# round costs ~8.7µs/block for ALL groups.  (0,9,3,31,2): 0.502 GB/s,
+# resid 0; old (KFIX=2,7,3): 0.404 GB/s.
+BWG = 9           # first-stage banded reach (rows per hop)
+BWG_ROUNDS = 3    # first-stage rounds
+BWG2 = 31         # second-stage reach (covers every in-group hop)
+BWG2_ROUNDS = 2   # second-stage rounds
+KFIX = 0          # per-group MXU doubling rounds (superseded by BWG2)
 
 
 def _troWS(P: int) -> int:
-    return ((P // 2 + TBUF * L - 1) // (TBUF * L)) * TBUF
+    # stored walk steps advance >= 4 compressed bytes each: a pair is two
+    # tags of >= 2 bytes; an unpaired single has adv > PAIR_MAX_ADV >= 32
+    # except at most two terminal ones (partner at slen / stall).  So
+    # steps <= P/4 + 2 — the step buffers (and every step-phase shape)
+    # need only a quarter of the block, not half (r5).
+    return ((P // 4 + 2 * L + TBUF * L - 1) // (TBUF * L)) * TBUF
 
 
 def _srl(x, k):
@@ -539,14 +553,23 @@ def _kernel(
         # (the whole r3 BWG=3 pass measured ~1µs/block), and reaching BWG
         # rows per hop collapses most mid-range copy chains here, letting
         # the per-group doubling machinery below skip far more groups
-        for _i in range(BWG_ROUNDS):
-            d_g = arow_g - _srl(parent, 7)
-            hop = parent
-            for dd in range(BWG + 1):
-                src = parent if dd == 0 else kl.row_shift_down(parent, dd)
-                gth = kl.lane_gather(src, parent & (L - 1))
-                hop = jnp.where((parent >= CI * L) & (d_g == dd), gth, hop)
-            parent = hop
+        def _banded(par, reach, rounds):
+            for _i in range(rounds):
+                d_g = arow_g - _srl(par, 7)
+                hop = par
+                for dd in range(reach + 1):
+                    src = par if dd == 0 else kl.row_shift_down(par, dd)
+                    gth = kl.lane_gather(src, par & (L - 1))
+                    hop = jnp.where((par >= CI * L) & (d_g == dd), gth, hop)
+                par = hop
+            return par
+
+        parent = _banded(parent, BWG, BWG_ROUNDS)
+        # second stage at full in-group reach (r5): a reach-31 round
+        # composes EVERY in-group parent (group hops are <= 31 rows), so
+        # BWG2_ROUNDS of it substitute the same count of per-group MXU
+        # doubling rounds at native-lane-gather cost
+        parent = _banded(parent, BWG2, BWG2_ROUNDS)
         par_ref[...] = parent
         lidx_ref[...] = live.astype(jnp.int32) << 16
 
@@ -581,7 +604,7 @@ def _kernel(
             base = (CI + r0) * L
             # static prefix bound: parents only ever point below the
             # group's end, so gathers read a growing prefix of [comp; out]
-            PR = CI + r0 + RG
+            PR = CI + r0   # own group excluded: parents are < base after doubling (r5)
             new = par_ref[pl.ds(r0, RG), :]
             for _k in range(KFIX):
                 cur = new
@@ -616,7 +639,7 @@ def _kernel(
             for _g in range(NRG):
                 r0 = _g * RG
                 base = (CI + r0) * L
-                PR = CI + r0 + RG
+                PR = CI + r0   # own group excluded: parents are < base after doubling (r5)
 
                 def rcond(c):
                     return (c[1] > 0) & (c[0] < LOCAL_MAX)

@@ -69,8 +69,11 @@ EXTRAS = 2
 
 
 def _trows(BS: int) -> int:
-    # walk steps <= commits (>=4 output bytes each) + rare jumps + 1
-    return (BS // 4 // L + 15) // 8 * 8
+    # stored walk steps: paired stores retire TWO commits (<= BS/8 of
+    # them); unpaired stores need commit spacing > 127 (<= BS/128); + 1
+    # terminal.  Rounded to a full 16-row gather group so the last
+    # residual scatter group never reads past the step refs (r5).
+    return (BS // 8 // L + BS // 128 // L + 1 + 15) // 16 * 16
 
 
 def _ocr(BS: int) -> int:

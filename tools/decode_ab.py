@@ -42,13 +42,15 @@ def main():
     cap_dev = jax.device_put(jnp.full((B,), 32768, np.int32))
     total = sum(len(b) for b in blocks)
 
-    combos = [tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]] or [
-        (2, 7, 3), (1, 7, 3), (1, 7, 5), (1, 9, 4), (2, 9, 4)
-    ]
-    for kfix, bwg, rounds in combos:
+    combos = [tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]] or [(2, 7, 3, 31, 0)]
+    for combo in combos:
+        kfix, bwg, rounds = combo[:3]
+        b2, r2 = (combo[3], combo[4]) if len(combo) > 4 else (31, 0)
         decode_fused.KFIX = kfix
         decode_fused.BWG = bwg
         decode_fused.BWG_ROUNDS = rounds
+        decode_fused.BWG2 = b2
+        decode_fused.BWG2_ROUNDS = r2
         fn = decode_fused._compiled.__wrapped__(B, P // 128, 256)
         out, meta = jax.device_get(fn(lens_dev, cap_dev, comp_dev))
         ok = all(
@@ -64,7 +66,7 @@ def main():
             return m[:, 0].sum() + o[0, 0, 0]
 
         t = slope_time(step, k_lo=4, k_hi=20, reps=3)
-        print(f"KFIX={kfix} BWG={bwg} R={rounds}: {'OK' if ok else 'FAIL'} "
+        print(f"KFIX={kfix} BWG={bwg} R={rounds} BWG2={b2}x{r2}: {'OK' if ok else 'FAIL'} "
               f"t={t*1e3:.3f}ms {total/t/1e9:.4f} GB/s resid={resid} fb={fbr}",
               flush=True)
 
