@@ -117,14 +117,14 @@ def main():
     arr = np.zeros(MR * 128, np.uint8)
     arr[:M] = np.frombuffer(body, np.uint8)
     pfn = decode_ws._pipeline(MR, Bb, CI)
-    packed = jax.device_put(jnp.asarray(arr.view(np.int32)))
+    u8_dev = jax.device_put(jnp.asarray(arr))
     slen_d, dlen_d = jnp.int32(M), jnp.int32(ulen)
-    last = (M + 256) // 4                            # padding word: loop dep
+    last = M + 256                                   # padding byte: loop dep
 
     def ws_step(k):
-        pk = packed.at[last].add(k & 63)
+        pk = u8_dev.at[last].add(k & 63)
         o, m, sm, sg = pfn(pk, slen_d, dlen_d)
-        return m[:, 0].sum() + sm[0] + o[0]
+        return m[:, 0].sum() + sm[0] + o[0].astype(jnp.int32)
 
     t_ws = slope_time(ws_step, k_lo=4, k_hi=20, reps=3)
     ws_gbps = ulen / t_ws / 1e9

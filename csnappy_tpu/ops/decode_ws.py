@@ -7,7 +7,8 @@ calls) that collapsed to 0.0027 GB/s behind a high-latency host↔device
 link.  This module is the production-shaped replacement: the compressed
 stream lives in HBM, and ONE dispatched program
 
-  1. unpacks the 4-bytes-per-int32 transfer encoding (vector ops),
+  1. casts the uint8 stream to int32 lanes (free; r4's int32 word
+     packing cost 1.38 ms/stream in XLA unpack shuffles — r5),
   2. parses every byte position into a walk entry ``adv | prod << 16``
      (dense XLA: the speculative-parse half of the block decoder's
      phase 1, csnappy_decompress.c:345-381 semantics),
@@ -18,7 +19,7 @@ stream lives in HBM, and ONE dispatched program
   4. decodes all segments with the fused block decoder in stream mode
      (windows DMA'd from the HBM stream at the scan's offsets,
      lane-aligned on device; ops/decode_fused.py), and
-  5. packs the output bytes 4-per-int32 for the return transfer.
+  5. returns the output as uint8 (byte-exact, no packing).
 
 Every shape (stream rows MR, block count Bb, per-segment width CI) is
 bucketed geometrically, so serving NEVER recompiles per stream shape.
@@ -61,21 +62,30 @@ def _srl(x, k):
     return jax.lax.shift_right_logical(x, k)
 
 
-def _entries(byts: jnp.ndarray, slen) -> jnp.ndarray:
+def _entries(byts2: jnp.ndarray, slen) -> jnp.ndarray:
     """Dense per-position walk entries for the boundary scan.
 
-    byts: (M,) int32 byte values.  entry = adv | prod << 16 when the tag
-    at that position is valid AND can belong to a segmentable stream
-    (adv <= SEG+5, prod <= SEG — anything larger must straddle a 32 KiB
-    output boundary); 0 otherwise (the walk stalls there and the host
-    falls back).  prod == SEG packs as bit 31 (negative int32); the walk
-    extracts it with logical shifts.
+    byts2: (MR, 128) int32 byte values in row-major stream order.  entry =
+    adv | prod << 16 when the tag at that position is valid AND can belong
+    to a segmentable stream (adv <= SEG+5, prod <= SEG — anything larger
+    must straddle a 32 KiB output boundary); 0 otherwise (the walk stalls
+    there and the host falls back).  prod == SEG packs as bit 31 (negative
+    int32); the walk extracts it with logical shifts.
+
+    The r4 1-D formulation (unaligned slices of a (MR*128,) array) cost
+    1.38 ms per 350 KB stream on hardware — HALF the whole pipeline — in
+    XLA layout shuffles; this 2-D roll/blend form measures 0.008 ms (r5).
     """
-    M = byts.shape[0]
-    ext = jnp.concatenate([byts, jnp.zeros((4,), jnp.int32)])
-    b0 = byts
-    b1, b2 = ext[1 : M + 1], ext[2 : M + 2]
-    b3, b4 = ext[3 : M + 3], ext[4 : M + 4]
+    MRl = byts2.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (MRl, L), 1)
+
+    def _sh(d):
+        a = jnp.roll(byts2, -d, axis=1)
+        b = jnp.roll(a, -1, axis=0)
+        return jnp.where(lane < L - d, a, b)
+
+    b0 = byts2
+    b1, b2, b3, b4 = _sh(1), _sh(2), _sh(3), _sh(4)
     kind = b0 & 3
     u = b0 >> 2
     islit = kind == wire.TAG_LITERAL
@@ -92,7 +102,7 @@ def _entries(byts: jnp.ndarray, slen) -> jnp.ndarray:
     copy_len = jnp.where(kind == wire.TAG_COPY_1, (u & 7) + wire.MIN_MATCH, u + 1)
     prod = jnp.where(islit, lit_len, copy_len)
     adv = hdr + jnp.where(islit, lit_len, 0)
-    pos = jnp.arange(M, dtype=jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (MRl, L), 0) * L + lane
     valid = (
         (pos < slen) & (pos + adv <= slen)
         & ~lit_bad & (prod <= SEG) & (adv <= SEG + 5)
@@ -289,29 +299,27 @@ def _scan_compiled(MR: int, SEGCAP: int):
 
 @functools.lru_cache(maxsize=32)
 def _pipeline(MR: int, Bb: int, CI: int):
-    """One jitted program: unpack → parse → scan walk → segmented fused
-    decode → pack.  (MR, Bb, CI) are bucketed by the caller."""
+    """One jitted program: cast → 2-D parse → scan walk → segmented fused
+    decode → uint8 output.  (MR, Bb, CI) are bucketed by the caller.
+    Input and output ride the host link as uint8 (1 byte/byte); the int32
+    word packing r4 used cost 1.38 ms of XLA layout shuffles per stream
+    to unpack (r5 measurement, /tmp probes → records/phaseprof notes)."""
     scanfn = _scan_compiled(MR, Bb)
     decfn = decode_fused._compiled_streamed(Bb, MR, CI, CO)
 
-    def run(packed, slen, dlen):
-        x = packed
-        byts = jnp.stack(
-            [x & 255, _srl(x, 8) & 255, _srl(x, 16) & 255, _srl(x, 24) & 255],
-            axis=1,
-        ).reshape(MR * L)
-        ent = _entries(byts, slen)
-        seg, smeta = scanfn(jnp.full((1,), slen, jnp.int32), ent.reshape(MR, L))
+    def run(u8, slen, dlen):
+        byts2 = u8.astype(jnp.int32).reshape(MR, L)
+        ent = _entries(byts2, slen)
+        seg, smeta = scanfn(jnp.full((1,), slen, jnp.int32), ent)
         k = jnp.arange(Bb, dtype=jnp.int32)
         nseg = (dlen + SEG - 1) // SEG
         soffs = jnp.where(k < nseg, seg[:Bb], slen)
         ends = jnp.where(k + 1 < nseg, seg[1 : Bb + 1], slen)
         flens = jnp.clip(jnp.where(k < nseg, ends - soffs, 0), 0, CI * L)
         dlim = jnp.clip(dlen - k * SEG, 1, SEG)
-        out, meta = decfn(flens, dlim, soffs, byts.reshape(MR, L))
-        wrds = out.reshape(-1, 4)
-        packed_out = wrds[:, 0] | (wrds[:, 1] << 8) | (wrds[:, 2] << 16) | (wrds[:, 3] << 24)
-        return packed_out, meta, smeta, seg
+        out, meta = decfn(flens, dlim, soffs, byts2)
+        out8 = out.astype(jnp.uint8).reshape(Bb * CO * L)
+        return out8, meta, smeta, seg
 
     return jax.jit(run)
 
@@ -380,8 +388,8 @@ def decompress_noheader_ws(src: bytes | np.ndarray, dst_len: int,
     arr = np.zeros(MR * L, np.uint8)
     arr[:M] = buf
     fn = _pipeline(MR, Bb, CI)
-    out_packed, meta, smeta, seg = jax.device_get(
-        fn(jnp.asarray(arr.view(np.int32)), jnp.int32(M), jnp.int32(dst_len))
+    out8, meta, smeta, seg = jax.device_get(
+        fn(jnp.asarray(arr), jnp.int32(M), jnp.int32(dst_len))
     )
     if smeta[2] != 0 or smeta[0] != M or smeta[1] != dst_len:
         return None
@@ -394,7 +402,7 @@ def decompress_noheader_ws(src: bytes | np.ndarray, dst_len: int,
     exp = np.minimum(dst_len - np.arange(nseg, dtype=np.int64) * SEG, SEG)
     if (meta[:nseg, 1] != 0).any() or (meta[:nseg, 0] != exp).any():
         return None
-    return out_packed.view(np.uint8)[:dst_len].tobytes()
+    return out8[:dst_len].tobytes()
 
 
 prim.register_trace_cache(_pipeline)

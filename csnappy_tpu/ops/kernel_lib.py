@@ -415,15 +415,10 @@ def gather_rows_multi(tables_bits, idx_ref, r0, nrows: int = 8, pre=None):
     """
     R = tables_bits[0][0].shape[0]
     E = nrows * L
-    # ONE widening serves both one-hots: idxb/idxL are row-broadcasts of
-    # the SAME index values, so build the taller of the two and slice —
-    # the duplicate (R,E)+(L,E) builds were a dominant per-call cost (r5)
-    RT = max(R, L)
-    wide = jnp.clip(_widen_rows(idx_ref, r0, nrows, RT, pre), 0, R * L - 1)
-    idxb = wide if R == RT else wide[0:R]               # (R, E)
-    idxL = wide if L == RT else wide[0:L]               # (L, E)
+    idxb = jnp.clip(_widen_rows(idx_ref, r0, nrows, R, pre), 0, R * L - 1)  # (R, E)
     q = jax.lax.broadcasted_iota(jnp.int32, (R, E), 0)
     roh8 = ((idxb >> 7) == q).astype(jnp.int8)
+    idxL = jnp.clip(_widen_rows(idx_ref, r0, nrows, L, pre), 0, R * L - 1)  # (L, E)
     lq = jax.lax.broadcasted_iota(jnp.int32, (L, E), 0)
     lohb = (idxL & (L - 1)) == lq                       # bool mask
     # assembly operands: select element block j into output row j
@@ -472,15 +467,12 @@ def scatter_rows_multi(pos_ref, val_refs_bits, r0, out_rows: int, nrows: int = 8
     import jax.experimental.pallas as pl
 
     E = nrows * L
-    # single widening, sliced for both one-hots (see gather_rows_multi)
-    RT = max(out_rows, L)
-    wideP = _widen_rows(pos_ref, r0, nrows, RT)
-    posb = wideP if out_rows == RT else wideP[0:out_rows]
-    posL = wideP if L == RT else wideP[0:L]
+    posb = _widen_rows(pos_ref, r0, nrows, out_rows)    # (out_rows, E)
     inb = (posb >= 0) & (posb < out_rows * L)
     pc = jnp.clip(posb, 0, out_rows * L - 1)
     q = jax.lax.broadcasted_iota(jnp.int32, (out_rows, E), 0)
     roh8 = jnp.where(inb, ((pc >> 7) == q).astype(jnp.int32), 0).astype(jnp.int8)
+    posL = _widen_rows(pos_ref, r0, nrows, L)           # (L, E)
     inbL = (posL >= 0) & (posL < out_rows * L)
     pL = jnp.clip(posL, 0, out_rows * L - 1)
     lq = jax.lax.broadcasted_iota(jnp.int32, (L, E), 0)

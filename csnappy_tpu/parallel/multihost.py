@@ -67,9 +67,15 @@ def compress_blocks_multihost(local_pages: np.ndarray, local_lens: np.ndarray, m
     # all-gather (ICI within hosts, DCN across; XLA inserts the collective)
     def body(p, l):
         B = p.shape[0]
-        kern = encode_fused._compiled(B, BR)
-        comp, meta = kern(p.reshape(B, BR * 128), l)
-        clens = meta[:, 0]
+        # per-device shard padded up to the encode kernel's NBE-block grid
+        # (padded blocks have blen 0 and are sliced back off)
+        Bp = (B + encode_fused.NBE - 1) // encode_fused.NBE * encode_fused.NBE
+        kern = encode_fused._compiled(Bp, BR)
+        pp = jnp.pad(p, ((0, Bp - B), (0, 0), (0, 0)))
+        lp = jnp.pad(l, (0, Bp - B))
+        comp, meta = kern(pp.reshape(Bp, BR * 128), lp)
+        comp = comp[:B]
+        clens = meta[:B, 0]
         all_lens = jax.lax.all_gather(clens, "blocks", tiled=True)
         offsets = jnp.cumsum(all_lens) - all_lens
         return comp, clens, offsets
