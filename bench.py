@@ -44,7 +44,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent))
 from csnappy_tpu import api
 from csnappy_tpu.models import pymodel, wire
 from csnappy_tpu.ops import decode_fused, decode_ws, encode_fused
-from csnappy_tpu.tools.timing import slope_time
+from csnappy_tpu.tools.timing import slope_time, slope_time_out
 
 DATA_DIR = pathlib.Path(__file__).parent / "tests" / "data"
 REF_DECOMPRESS_GBPS = 0.6455
@@ -68,22 +68,26 @@ def _dec_inputs(data: bytes, B: int):
 
 def bench_block_decode(data: bytes, B: int, verify: bool = False):
     blocks, arr, lens, P = _dec_inputs(data, B)
-    if verify:
-        out, produced, status = decode_fused.decode_blocks(arr, lens, 32768)
-        assert (status == 0).all(), status
-        for i, b in enumerate(blocks):
-            assert out[i, : len(b)].tobytes() == b, f"block {i} decode mismatch"
     dfn = decode_fused._compiled(B, P // 128, 256)
     comp_dev = jax.device_put(jnp.asarray(arr.astype(np.int32)).reshape(B, P // 128, 128))
     lens_dev = jax.device_put(jnp.asarray(lens))
     cap_dev = jax.device_put(jnp.full((B,), 32768, np.int32))
 
+    # verification rides the SAME compiled program as the slope (the k=0
+    # step's outputs come back as aux) — a separate decode_blocks verify
+    # call would pay a second ~100 s kernel compile on this pod
     def dec_step(k):
         ck = comp_dev.at[:, -1, 127].add(k & 63)  # padding byte: loop dep
         o, m = dfn(lens_dev, cap_dev, ck)
-        return m[:, 0].sum() + o[0, 0, 0]
+        return m[:, 0].sum() + o[0, 0, 0], (o, m)
 
-    t = slope_time(dec_step, k_lo=4, k_hi=20, reps=3)
+    t, (out, meta) = slope_time_out(dec_step, k_lo=4, k_hi=20, reps=3)
+    if verify:
+        status = meta[:, 1]
+        assert (status == 0).all(), status
+        outb = out.astype(np.uint8).reshape(B, -1)
+        for i, b in enumerate(blocks):
+            assert outb[i, : len(b)].tobytes() == b, f"block {i} decode mismatch"
     total = sum(len(b) for b in blocks)
     # measured HBM traffic per call (static DMA sizes: int32-per-byte comp
     # blocks in, int32-per-byte output back; VMEM<->SMEM moves don't touch
@@ -92,16 +96,30 @@ def bench_block_decode(data: bytes, B: int, verify: bool = False):
     return total / t / 1e9, t, traffic
 
 
+def _mark(msg, _t0=[None]):
+    """Per-leg stderr timestamps so a driver-side timeout names the hog."""
+    if _t0[0] is None:
+        _t0[0] = time.time()
+    print(f"[bench +{time.time() - _t0[0]:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
+    _mark("start")
     data = (DATA_DIR / "urls.10K").read_bytes()
     golden = (DATA_DIR / "urls.10K.snappy").read_bytes()
     n = len(data)
 
     # ---- batched block decompress (serving path) + batch scaling ----
+    # every distinct batch size pays its own ~100 s kernel compile on this
+    # pod (no persistent compile cache through the axon relay), so the
+    # default run measures the headline B=64 only; BENCH_FULL=1 adds the
+    # batch-scaling rows.  Driver timeout safety > extra table rows.
+    batches = (16, 64, 256) if os.environ.get("BENCH_FULL") else (64,)
     scaling = {}
     traffic = t_dec = None
-    for B in (16, 64, 256):
+    for B in batches:
         gbps, t, tr = bench_block_decode(data, B, verify=(B == 64))
+        _mark(f"decode B={B}: {gbps:.4f} GB/s")
         scaling[B] = round(gbps, 4)
         if B == 64:
             dec_gbps, t_dec, traffic = gbps, t, tr
@@ -110,10 +128,15 @@ def main():
     # ---- whole-stream decompress (device-resident pipeline) ----
     ulen, hdr = wire.varint_decode(golden)
     body = golden[hdr:]
-    out_b = api.decompress_noheader(body, ulen)      # end-to-end correctness
-    assert out_b == data, "routed whole-stream decode mismatch"
     M = len(body)
-    MR, Bb, CI = decode_ws.plan(M, ulen)
+    # pick the width bucket that actually fits this stream's widest segment
+    # (the serving path learns this by one narrow-bucket attempt + retry;
+    # the bench must not time a bucket whose decode it then fails to verify)
+    from csnappy_tpu.runtime import native
+    rc, offs, _prod = native.scan_segments(body, ulen, wire.BLOCK_SIZE)
+    assert rc == 0, "native segment scan failed on the golden stream"
+    fw = np.diff(np.append(np.asarray(offs, np.int64), M)).max()
+    MR, Bb, CI = decode_ws.plan(M, ulen, wide=bool(fw > 160 * 128))
     arr = np.zeros(MR * 128, np.uint8)
     arr[:M] = np.frombuffer(body, np.uint8)
     pfn = decode_ws._pipeline(MR, Bb, CI)
@@ -124,18 +147,24 @@ def main():
     def ws_step(k):
         pk = u8_dev.at[last].add(k & 63)
         o, m, sm, sg = pfn(pk, slen_d, dlen_d)
-        return m[:, 0].sum() + sm[0] + o[0].astype(jnp.int32)
+        return m[:, 0].sum() + sm[0] + o[0].astype(jnp.int32), o
 
-    t_ws = slope_time(ws_step, k_lo=4, k_hi=20, reps=3)
+    t_ws, ws_out = slope_time_out(ws_step, k_lo=4, k_hi=20, reps=3)
+    assert ws_out[:ulen].tobytes() == data, "ws pipeline decode mismatch"
     ws_gbps = ulen / t_ws / 1e9
+    _mark(f"wholestream: {ws_gbps:.4f} GB/s")
 
-    # host-path wall clock (tunnel-bound on this pod; see module docstring)
+    # host-path wall clock (tunnel-bound on this pod; see module docstring);
+    # the first call doubles as the routed-path end-to-end correctness check
+    out_b = api.decompress_noheader(body, ulen)
+    assert out_b == data, "routed whole-stream decode mismatch"
     t0 = time.perf_counter()
     REPS = 3
     for _ in range(REPS):
         api.decompress_noheader(body, ulen)
     t_host = (time.perf_counter() - t0) / REPS
     host_gbps = ulen / t_host / 1e9
+    _mark(f"host e2e: {host_gbps:.4f} GB/s")
 
     # ---- compress, batched 32KB fragments ----
     nb = (n + 32768 - 1) // 32768
@@ -145,11 +174,6 @@ def main():
     blens = np.zeros((Bp,), np.int32)
     blens[:nb] = 32768
     blens[nb - 1] = n - (nb - 1) * 32768
-    comp, clens = encode_fused.encode_blocks(pages, blens)
-    comp_size = len(wire.varint_encode(n)) + int(clens[:nb].sum())
-    stream = b"".join(comp[i, : clens[i]].tobytes() for i in range(nb))
-    assert pymodel.decompress_noheader(stream, n) == data, "compress roundtrip failed"
-
     efn = encode_fused._compiled(Bp, 256)
     pages_dev = jax.device_put(jnp.asarray(pages.astype(np.int32)))
     blens_dev = jax.device_put(jnp.asarray(blens))
@@ -157,14 +181,23 @@ def main():
     # loop dependence via a PADDING byte (blocks nb..Bp-1 have blens==0, so
     # their bytes never reach the output): k & 63 gives 64 distinct inputs,
     # defeating the runtime's identical-call short-circuit that collapsed
-    # r4's 2-input `^ (k & 1)` slope to the 1e-9 floor (VERDICT r4 weak #1)
+    # r4's 2-input `^ (k & 1)` slope to the 1e-9 floor (VERDICT r4 weak #1).
+    # The k=0 outputs ride back as slope aux for the roundtrip verify +
+    # comp_size (one compile instead of a separate encode_blocks call).
     def enc_step(k):
         pk = pages_dev.at[Bp - 1, 32767].add(k & 63)
         c, m = efn(pk, blens_dev)
-        return m[:, 0].sum() + c[0, 0, 0]
+        return m[:, 0].sum() + c[0, 0, 0], (c, m)
 
-    t_enc = slope_time(enc_step, k_lo=4, k_hi=20, reps=3)
+    t_enc, (comp, emeta) = slope_time_out(enc_step, k_lo=4, k_hi=20, reps=3)
+    assert (emeta[:nb, 1] == 0).all(), "encoder walk exhausted"
+    clens = emeta[:, 0]
+    comp8 = comp.reshape(Bp, -1).astype(np.uint8)
+    comp_size = len(wire.varint_encode(n)) + int(clens[:nb].sum())
+    stream = b"".join(comp8[i, : clens[i]].tobytes() for i in range(nb))
+    assert pymodel.decompress_noheader(stream, n) == data, "compress roundtrip failed"
     enc_gbps = n / t_enc / 1e9
+    _mark(f"compress: {enc_gbps:.4f} GB/s")
 
     # sanity bound (VERDICT r4 #3): a timing-harness failure must fail the
     # bench run loudly, never publish a garbage headline

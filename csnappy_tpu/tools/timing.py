@@ -12,6 +12,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def slope_time(make_step, k_lo=2, k_hi=8, reps=2) -> float:
@@ -38,6 +39,40 @@ def slope_time(make_step, k_lo=2, k_hi=8, reps=2) -> float:
             best = min(best, time.perf_counter() - t0)
         ts[K] = best
     return max((ts[k_hi] - ts[k_lo]) / (k_hi - k_lo), 1e-9)
+
+
+def slope_time_out(make_step, k_lo=2, k_hi=8, reps=2):
+    """Like slope_time, but make_step(k) returns (scalar, aux_pytree) and the
+    K-loop carries aux so ONE compiled program serves both the timing slope
+    and a bit-exact output fetch for verification — per-leg compile cost on
+    this pod is ~100 s, so a separate verify call would double it.
+
+    Returns (seconds_per_step, aux_of_last_step_at_k0).
+    """
+
+    @jax.jit
+    def run(K, seed):
+        s0, aux0 = make_step(seed)
+
+        def body(k, c):
+            acc, _ = c
+            s, aux = make_step(k + seed)
+            return acc + s, aux
+
+        return jax.lax.fori_loop(1, K, body, (s0, aux0))
+
+    acc, aux = run(1, 0)
+    int(acc)  # compile + force
+    aux = jax.tree_util.tree_map(lambda x: np.asarray(x), aux)
+    ts = {}
+    for K in (k_lo, k_hi):
+        best = 1e9
+        for r in range(reps):
+            t0 = time.perf_counter()
+            int(run(K, r * 13)[0])
+            best = min(best, time.perf_counter() - t0)
+        ts[K] = best
+    return max((ts[k_hi] - ts[k_lo]) / (k_hi - k_lo), 1e-9), aux
 
 
 def pad_perturb(arr, last_row: int):
