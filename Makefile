@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: test test_onep hwtest native cl_test selftest bench block_test records clean
+.PHONY: test test_onep hwtest native cl_test selftest bench block_test records profiles clean
 
 # one pytest PROCESS PER TEST MODULE: a single long-lived process
 # accumulates XLA CPU compiler state across the ~200 kernel variants the
@@ -49,13 +49,17 @@ block_test: native
 bench:
 	$(PY) bench.py
 
-# committed benchmark records (C16/C17 duty): corpus table, phase
-# profiles, zram-sim tree run — regenerate on the chip each round
+# committed benchmark records (C16/C17 duty): corpus table + zram-sim
+# tree run — regenerate on the chip each round.  Phase profiles are the
+# separate `profiles` target: every phase cut is its own ~100 s kernel
+# compile, too much chip time to gate the records on.
 records:
 	$(PY) -m csnappy_tpu.tools.benchtable --corpus | tee records/benchtable_r5.txt
+	$(PY) -m csnappy_tpu.tools.zramsim csnappy_tpu | tee records/zramsim_r5.json
+
+profiles:
 	$(PY) -m csnappy_tpu.tools.phaseprof decode > records/phaseprof_r5_decode.jsonl
 	$(PY) -m csnappy_tpu.tools.phaseprof encode > records/phaseprof_r5_encode.jsonl
-	$(PY) -m csnappy_tpu.tools.zramsim csnappy_tpu | tee records/zramsim_r5.json
 
 clean:
 	$(MAKE) -C csrc clean

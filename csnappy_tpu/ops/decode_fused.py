@@ -850,9 +850,9 @@ def decode_blocks(comp: np.ndarray, src_lens: np.ndarray, block_out: int):
     output capacity.  Returns (out uint8[B, block_out], produced, status).
     """
     B, Pin = comp.shape
-    P = _round_up(max(Pin, 1024), 1024)
+    P = prim.bucket_pow2(_round_up(max(Pin, 1024), 1024), 1024)
     OC = _round_up(max(block_out, 1024), 1024)
-    Bp = _round_up(max(B, 1), 8)
+    Bp = prim.bucket_pow2(max(B, 1), 8)
     arr = np.zeros((Bp, P), np.uint8)
     arr[:B, :Pin] = comp
     lens = np.zeros((Bp,), np.int32)

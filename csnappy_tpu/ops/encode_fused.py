@@ -663,7 +663,7 @@ def encode_blocks(data: np.ndarray, blens: np.ndarray, hash_bits: int = 16):
     """
     B, bs = data.shape
     BSP = _round_up(max(bs, 1024), 1024)
-    Bp = _round_up(max(B, 1), 8)
+    Bp = prim.bucket_pow2(max(B, 1), 8)
     arr = np.zeros((Bp, BSP), np.uint8)
     arr[:B, :bs] = data
     lens = np.zeros((Bp,), np.int32)

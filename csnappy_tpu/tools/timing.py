@@ -41,6 +41,52 @@ def slope_time(make_step, k_lo=2, k_hi=8, reps=2) -> float:
     return max((ts[k_hi] - ts[k_lo]) / (k_hi - k_lo), 1e-9)
 
 
+_RUNNERS: dict = {}
+
+
+def slope_time_keyed(key, step, args, k_lo=2, k_hi=8, reps=2):
+    """slope_time with the measured arrays passed as ARGUMENTS and the
+    jitted K-loop runner cached under ``key``.
+
+    A closure-captured device array is baked into the traced program, so a
+    fresh slope jit per input recompiles the whole kernel (~100 s on this
+    pod) even when every shape matches.  Here step(k, *args) receives the
+    data as parameters and the runner is reused for every same-key call.
+    ``key`` must uniquely identify the step COMPUTATION + shapes (the
+    cached runner keeps the first step function it was built with).
+
+    step(k, *args) returns (scalar, aux); the k=0 aux comes back for
+    verification, as in slope_time_out.  Returns (sec_per_step, aux).
+    """
+    run = _RUNNERS.get(key)
+    if run is None:
+
+        @jax.jit
+        def run(K, seed, *a):
+            s0, aux0 = step(seed, *a)
+
+            def body(k, c):
+                acc, _ = c
+                s, aux = step(k + seed, *a)
+                return acc + s, aux
+
+            return jax.lax.fori_loop(1, K, body, (s0, aux0))
+
+        _RUNNERS[key] = run
+    acc, aux = run(1, 0, *args)
+    int(acc)  # compile (first key use) + warm + force
+    aux = jax.tree_util.tree_map(lambda x: np.asarray(x), aux)
+    ts = {}
+    for K in (k_lo, k_hi):
+        best = 1e9
+        for r in range(reps):
+            t0 = time.perf_counter()
+            int(run(K, r * 13, *args)[0])
+            best = min(best, time.perf_counter() - t0)
+        ts[K] = best
+    return max((ts[k_hi] - ts[k_lo]) / (k_hi - k_lo), 1e-9), aux
+
+
 def slope_time_out(make_step, k_lo=2, k_hi=8, reps=2):
     """Like slope_time, but make_step(k) returns (scalar, aux_pytree) and the
     K-loop carries aux so ONE compiled program serves both the timing slope
